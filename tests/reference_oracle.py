@@ -1,0 +1,63 @@
+"""Import the reference PyTorch implementation as a *test oracle*.
+
+The reference at /root/reference is used exactly the way a converted
+pretrained checkpoint would be: instantiate its torch modules (random init),
+convert their state_dicts with vtoonify_tpu.convert, and compare forward
+outputs. Its CUDA extension package is aliased to the pure-torch op_cpu
+fallback (the reference's own hermetic path, model/stylegan/op_cpu/readme.md),
+and net-downloading init hooks are stubbed out (zero-egress environment).
+
+Runtime framework code never imports anything from here.
+"""
+
+import sys
+import types
+
+import numpy as np
+import torch
+
+_REFERENCE = "/root/reference"
+_installed = False
+
+
+def install():
+    global _installed
+    if _installed:
+        return
+    if _REFERENCE not in sys.path:
+        sys.path.insert(0, _REFERENCE)
+
+    # Alias the CUDA op package to the CPU fallback before anything imports it.
+    import model.stylegan.op_cpu as op_cpu
+    from model.stylegan.op_cpu import conv2d_gradfix
+
+    fake = types.ModuleType("model.stylegan.op")
+    fake.FusedLeakyReLU = op_cpu.FusedLeakyReLU
+    fake.fused_leaky_relu = op_cpu.fused_leaky_relu
+    fake.upfirdn2d = op_cpu.upfirdn2d
+    fake.conv2d_gradfix = conv2d_gradfix
+    sys.modules["model.stylegan.op"] = fake
+
+    # Stub torchvision-model-zoo downloads (no egress): Resnet18.init_weight
+    # calls model_zoo.load_url; return an empty dict so random init stands.
+    try:
+        import torch.utils.model_zoo as model_zoo
+
+        model_zoo.load_url = lambda *a, **k: {}
+    except Exception:
+        pass
+
+    # torchvision itself is absent; BiSeNet only imports it at module level.
+    if "torchvision" not in sys.modules:
+        tv = types.ModuleType("torchvision")
+        sys.modules["torchvision"] = tv
+
+    _installed = True
+
+
+def to_nchw(x_nhwc: np.ndarray) -> torch.Tensor:
+    return torch.from_numpy(np.transpose(np.asarray(x_nhwc), (0, 3, 1, 2)).copy())
+
+
+def to_nhwc(t: torch.Tensor) -> np.ndarray:
+    return np.transpose(t.detach().cpu().numpy(), (0, 2, 3, 1))

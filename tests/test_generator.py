@@ -1,0 +1,123 @@
+"""Model-level parity: StyleGAN2 generator/discriminator vs the reference
+(random-init torch modules converted through vtoonify_tpu.convert — the same
+path real pretrained checkpoints take). SURVEY.md §4 gap-fill, item (b)."""
+
+import numpy as np
+import pytest
+import torch
+
+import jax.numpy as jnp
+
+from tests import reference_oracle as oracle
+from vtoonify_tpu.convert.torch_import import (
+    convert_discriminator,
+    convert_generator,
+    flatten_torch_state,
+)
+from vtoonify_tpu.models.generator import (
+    DiscriminatorConfig,
+    GeneratorConfig,
+    discriminator_apply,
+    generate,
+    init_generator,
+    make_noise,
+    style_mlp,
+    styles_to_latent,
+    generator_apply,
+)
+
+oracle.install()
+from model.stylegan.model import Discriminator, Generator  # noqa: E402
+
+SIZE, STYLE_DIM, N_MLP, CM = 64, 32, 2, 1
+
+
+@pytest.fixture(scope="module")
+def gen_pair():
+    torch.manual_seed(0)
+    ref = Generator(SIZE, STYLE_DIM, N_MLP, channel_multiplier=CM).eval()
+    cfg = GeneratorConfig(size=SIZE, style_dim=STYLE_DIM, n_mlp=N_MLP,
+                          channel_multiplier=CM)
+    params = convert_generator(flatten_torch_state(ref), cfg)
+    return ref, cfg, params
+
+
+def fixed_noise(ref):
+    return [getattr(ref.noises, f"noise_{i}") for i in range(ref.num_layers)]
+
+
+def test_style_mlp_parity(gen_pair):
+    ref, cfg, params = gen_pair
+    z = np.random.RandomState(1).randn(4, STYLE_DIM).astype(np.float32)
+    ours = np.asarray(style_mlp(params, cfg, jnp.asarray(z)))
+    with torch.no_grad():
+        theirs = ref.style(torch.from_numpy(z)).numpy()
+    np.testing.assert_allclose(ours, theirs, atol=1e-5, rtol=1e-4)
+
+
+def test_generator_w_parity(gen_pair):
+    ref, cfg, params = gen_pair
+    rng = np.random.RandomState(2)
+    w = rng.randn(2, STYLE_DIM).astype(np.float32) * 0.1
+    noise_t = fixed_noise(ref)
+    with torch.no_grad():
+        img_ref, _ = ref([torch.from_numpy(w)], input_is_latent=True,
+                         noise=noise_t)
+    noise_j = [jnp.asarray(oracle.to_nhwc(n)) for n in noise_t]
+    img = generate(params, cfg, [jnp.asarray(w)], input_is_latent=True,
+                   noise=noise_j)
+    np.testing.assert_allclose(
+        np.asarray(img), oracle.to_nhwc(img_ref), atol=2e-4, rtol=1e-3
+    )
+
+
+def test_generator_zplus_truncation_parity(gen_pair):
+    ref, cfg, params = gen_pair
+    rng = np.random.RandomState(3)
+    zp = rng.randn(2, cfg.n_latent, STYLE_DIM).astype(np.float32)
+    trunc_lat = rng.randn(1, STYLE_DIM).astype(np.float32) * 0.05
+    noise_t = fixed_noise(ref)
+    with torch.no_grad():
+        img_ref, _ = ref([torch.from_numpy(zp)], z_plus_latent=True,
+                         truncation=0.5,
+                         truncation_latent=torch.from_numpy(trunc_lat),
+                         noise=noise_t)
+    noise_j = [jnp.asarray(oracle.to_nhwc(n)) for n in noise_t]
+    img = generate(params, cfg, [jnp.asarray(zp)], z_plus_latent=True,
+                   truncation=0.5, truncation_latent=jnp.asarray(trunc_lat),
+                   noise=noise_j)
+    np.testing.assert_allclose(
+        np.asarray(img), oracle.to_nhwc(img_ref), atol=2e-4, rtol=1e-3
+    )
+
+
+def test_generator_early_exit(gen_pair):
+    ref, cfg, params = gen_pair
+    rng = np.random.RandomState(4)
+    w = rng.randn(1, STYLE_DIM).astype(np.float32) * 0.1
+    noise_t = fixed_noise(ref)
+    with torch.no_grad():
+        feat_ref, skip_ref = ref([torch.from_numpy(w)], input_is_latent=True,
+                                 noise=noise_t, return_feature_ind=3)
+    noise_j = [jnp.asarray(oracle.to_nhwc(n)) for n in noise_t]
+    latent = styles_to_latent(params, cfg, [jnp.asarray(w)],
+                              input_is_latent=True)
+    feat, skip = generator_apply(params, cfg, latent, noise=noise_j,
+                                 return_feature_ind=3)
+    np.testing.assert_allclose(np.asarray(feat), oracle.to_nhwc(feat_ref),
+                               atol=2e-4, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(skip), oracle.to_nhwc(skip_ref),
+                               atol=2e-4, rtol=1e-3)
+
+
+def test_discriminator_parity():
+    torch.manual_seed(5)
+    size = 64
+    ref = Discriminator(size, channel_multiplier=1).eval()
+    cfg = DiscriminatorConfig(size=size, channel_multiplier=1)
+    params = convert_discriminator(flatten_torch_state(ref), cfg)
+    x = np.random.RandomState(6).randn(4, size, size, 3).astype(np.float32)
+    with torch.no_grad():
+        out_ref = ref(oracle.to_nchw(x)).numpy()
+    out = np.asarray(discriminator_apply(params, cfg, jnp.asarray(x)))
+    np.testing.assert_allclose(out, out_ref, atol=5e-4, rtol=1e-3)

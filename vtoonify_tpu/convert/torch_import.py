@@ -1,0 +1,181 @@
+"""One-way converter: PyTorch state_dicts → vtoonify_tpu param pytrees.
+
+Handles the reference checkpoint formats (SURVEY.md §5.4): StyleGAN2 /
+DualStyleGAN `g_ema` dicts, VToonify `.pt`, pSp `encoder.pt` (with
+`latent_avg`), BiSeNet `faceparsing.pth`, `exstyle_code.npy` style banks.
+
+Torch is a dev-only dependency of this module (never imported by the runtime
+path): inputs are *flat dicts of numpy arrays*. Use `flatten_torch_state`
+to produce one from a torch.nn.Module or torch.load() result.
+
+Layout rules (see nn/layers.py):
+  linear  (out, in)        → (in, out)
+  conv    (O, I, kh, kw)   → (kh, kw, I, O)
+  modconv (1, O, I, kh, kw)→ (kh, kw, I, O)
+  NCHW buffers             → NHWC
+Weights stay RAW — equalized-LR scaling happens at apply time on both sides,
+so conversion is purely a transpose (SURVEY.md §7.3 hard-part #2).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+
+def flatten_torch_state(obj) -> dict:
+    """torch Module / state_dict / nested ckpt dict → {key: np.ndarray}."""
+    if hasattr(obj, "state_dict"):
+        obj = obj.state_dict()
+    out = {}
+    for k, v in obj.items():
+        if hasattr(v, "detach"):
+            out[k] = v.detach().cpu().numpy()
+        else:
+            out[k] = np.asarray(v)
+    return out
+
+
+def _j(a):
+    return jnp.asarray(np.ascontiguousarray(a), dtype=jnp.float32)
+
+
+def _linear(sd, p):
+    out = {"weight": _j(sd[f"{p}.weight"].T)}
+    if f"{p}.bias" in sd:
+        out["bias"] = _j(sd[f"{p}.bias"])
+    return out
+
+
+def _conv(sd, p):
+    out = {"weight": _j(np.transpose(sd[f"{p}.weight"], (2, 3, 1, 0)))}
+    if f"{p}.bias" in sd:
+        out["bias"] = _j(sd[f"{p}.bias"])
+    return out
+
+
+def convert_equal_linear(sd, prefix):
+    return _linear(sd, prefix)
+
+
+def convert_equal_conv2d(sd, prefix):
+    return _conv(sd, prefix)
+
+
+def convert_conv_layer(sd, prefix, downsample=False, activate=True):
+    """ConvLayer is an nn.Sequential; indices depend on flags
+    (reference model.py:593-637)."""
+    ci = 1 if downsample else 0
+    out = {"conv": _conv(sd, f"{prefix}.{ci}")}
+    act_key = f"{prefix}.{ci + 1}.bias"
+    if activate and act_key in sd:
+        out["act_bias"] = _j(sd[act_key])
+    return out
+
+
+def convert_modulated_conv2d(sd, prefix):
+    w = sd[f"{prefix}.weight"][0]  # (O, I, kh, kw)
+    return {
+        "weight": _j(np.transpose(w, (2, 3, 1, 0))),
+        "modulation": _linear(sd, f"{prefix}.modulation"),
+    }
+
+
+def convert_styled_conv(sd, prefix):
+    return {
+        "conv": convert_modulated_conv2d(sd, f"{prefix}.conv"),
+        "noise": {"weight": _j(sd[f"{prefix}.noise.weight"].reshape(()))},
+        "act_bias": _j(sd[f"{prefix}.activate.bias"]),
+    }
+
+
+def convert_to_rgb(sd, prefix):
+    return {
+        "conv": convert_modulated_conv2d(sd, f"{prefix}.conv"),
+        "bias": _j(np.transpose(sd[f"{prefix}.bias"], (0, 2, 3, 1))),
+    }
+
+
+def convert_res_block(sd, prefix):
+    return {
+        "conv1": convert_conv_layer(sd, f"{prefix}.conv1"),
+        "conv2": convert_conv_layer(sd, f"{prefix}.conv2", downsample=True),
+        "skip": convert_conv_layer(
+            sd, f"{prefix}.skip", downsample=True, activate=False
+        ),
+    }
+
+
+def convert_generator(sd, cfg, prefix=""):
+    """StyleGAN2 Generator state_dict → params (cfg: GeneratorConfig)."""
+    p = prefix + "." if prefix else ""
+    n_res = cfg.log_size - 2
+    return {
+        # style.0 is the parameterless PixelNorm
+        "style": [
+            _linear(sd, f"{p}style.{i + 1}") for i in range(cfg.n_mlp)
+        ],
+        "input": _j(np.transpose(sd[f"{p}input.input"], (0, 2, 3, 1))),
+        "conv1": convert_styled_conv(sd, f"{p}conv1"),
+        "to_rgb1": convert_to_rgb(sd, f"{p}to_rgb1"),
+        "convs": [
+            convert_styled_conv(sd, f"{p}convs.{i}") for i in range(2 * n_res)
+        ],
+        "to_rgbs": [
+            convert_to_rgb(sd, f"{p}to_rgbs.{i}") for i in range(n_res)
+        ],
+        "noises": [
+            _j(np.transpose(sd[f"{p}noises.noise_{i}"], (0, 2, 3, 1)))
+            for i in range(cfg.num_layers)
+        ],
+    }
+
+
+def convert_discriminator(sd, cfg, prefix=""):
+    p = prefix + "." if prefix else ""
+    n_blocks = cfg.log_size - 2
+    return {
+        "conv_in": convert_conv_layer(sd, f"{p}convs.0"),
+        "blocks": [
+            convert_res_block(sd, f"{p}convs.{i + 1}") for i in range(n_blocks)
+        ],
+        "final_conv": convert_conv_layer(sd, f"{p}final_conv"),
+        "final_linear": [
+            _linear(sd, f"{p}final_linear.0"),
+            _linear(sd, f"{p}final_linear.1"),
+        ],
+    }
+
+
+# --- plain torch layers -----------------------------------------------------
+
+
+def convert_conv2d_torch(sd, prefix):
+    return _conv(sd, prefix)
+
+
+def convert_linear_torch(sd, prefix):
+    return _linear(sd, prefix)
+
+
+def convert_batch_norm(sd, prefix):
+    return {
+        "weight": _j(sd[f"{prefix}.weight"]),
+        "bias": _j(sd[f"{prefix}.bias"]),
+        "running_mean": _j(sd[f"{prefix}.running_mean"]),
+        "running_var": _j(sd[f"{prefix}.running_var"]),
+    }
+
+
+def convert_adain(sd, prefix):
+    return {"style": _linear(sd, f"{prefix}.style")}
+
+
+def convert_ada_res_block(sd, prefix):
+    """reference dualstylegan.py AdaResBlock: conv/conv2/norm/norm2."""
+    return {
+        "conv1": convert_conv_layer(sd, f"{prefix}.conv"),
+        "conv2": convert_conv_layer(sd, f"{prefix}.conv2"),
+        "norm1": convert_adain(sd, f"{prefix}.norm"),
+        "norm2": convert_adain(sd, f"{prefix}.norm2"),
+    }

@@ -1,0 +1,369 @@
+"""StyleGAN2-family building blocks as pure functions over param pytrees.
+
+Each block is a pair of functions:
+  * ``init_<block>(key, ...) -> params``  (random init, matching the
+    reference's distributions where they are load-bearing)
+  * ``<block>(params, x, ...) -> y``      (pure apply)
+
+Parameters are stored RAW, exactly as the reference stores them — the
+equalized learning-rate scaling (`1/sqrt(fan_in) * lr_mul`) is applied at
+run time (reference model/stylegan/model.py:102,149). That keeps checkpoint
+conversion a pure layout transpose and preserves training dynamics.
+
+Layout: activations NHWC, conv kernels HWIO, linear weights (in, out).
+
+TPU-first deviation from the reference: ModulatedConv2d uses the
+scale-activations formulation — ``y = demod ⊙ conv(x ⊙ s, W)`` — instead of
+materializing a per-sample weight and running a grouped conv with
+groups=batch (reference model.py:298-304). The two are mathematically
+identical for any linear conv; ours keeps batch a real batch dim so XLA can
+tile the conv onto the MXU and demodulation becomes one (B,Ci)x(Ci,Co)
+matmul. (Equivalence is the reference's own non-fused path, model.py:230-257.)
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from vtoonify_tpu.ops.convs import conv2d, conv_transpose2d
+from vtoonify_tpu.ops.fused_act import fused_leaky_relu
+from vtoonify_tpu.ops.upfirdn2d import blur, make_kernel, upsample_2x, downsample_2x
+
+BLUR_KERNEL = (1.0, 3.0, 3.0, 1.0)
+
+
+# ---------------------------------------------------------------------------
+# elementwise
+
+
+def pixel_norm(x, eps: float = 1e-8):
+    """reference model.py:13-18 (channel-last here)."""
+    return x * lax.rsqrt(jnp.mean(jnp.square(x), axis=-1, keepdims=True) + eps)
+
+
+def leaky_relu(x, slope: float = 0.2):
+    return jax.nn.leaky_relu(x, slope)
+
+
+# ---------------------------------------------------------------------------
+# equalized-LR linear / conv
+
+
+def init_equal_linear(key, in_dim, out_dim, bias=True, bias_init=0.0, lr_mul=1.0):
+    p = {"weight": jax.random.normal(key, (in_dim, out_dim), jnp.float32) / lr_mul}
+    if bias:
+        p["bias"] = jnp.full((out_dim,), bias_init, jnp.float32)
+    return p
+
+
+def equal_linear(p, x, lr_mul: float = 1.0, activation: bool = False):
+    """reference model.py:133-162."""
+    in_dim = p["weight"].shape[0]
+    scale = (1.0 / math.sqrt(in_dim)) * lr_mul
+    w = (p["weight"] * scale).astype(x.dtype)
+    out = x @ w
+    b = p.get("bias")
+    if activation:
+        out = fused_leaky_relu(out, None if b is None else b * lr_mul)
+    elif b is not None:
+        out = out + (b * lr_mul).astype(out.dtype)
+    return out
+
+
+def init_equal_conv2d(key, in_ch, out_ch, ksize, bias=True):
+    p = {"weight": jax.random.normal(key, (ksize, ksize, in_ch, out_ch), jnp.float32)}
+    if bias:
+        p["bias"] = jnp.zeros((out_ch,), jnp.float32)
+    return p
+
+
+def equal_conv2d(p, x, stride=1, padding=0, dilation=1):
+    """reference model.py:93-124 (incl. the VToonify dilation modification)."""
+    kh, kw, cin, _ = p["weight"].shape
+    scale = 1.0 / math.sqrt(cin * kh * kw)
+    out = conv2d(
+        x, (p["weight"] * scale).astype(x.dtype),
+        stride=stride, padding=padding, dilation=dilation,
+    )
+    if "bias" in p:
+        out = out + p["bias"].astype(out.dtype)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# ConvLayer = [Blur?] -> EqualConv2d -> [FusedLeakyReLU?]
+# (reference model.py:593-637)
+
+
+def init_conv_layer(key, in_ch, out_ch, ksize, downsample=False, bias=True,
+                    activate=True):
+    p = {"conv": init_equal_conv2d(key, in_ch, out_ch, ksize,
+                                   bias=bias and not activate)}
+    if activate and bias:
+        p["act_bias"] = jnp.zeros((out_ch,), jnp.float32)
+    return p
+
+
+def conv_layer(p, x, ksize, downsample=False, activate=True, dilation=1,
+               blur_kernel: Sequence[float] = BLUR_KERNEL):
+    if downsample:
+        kt = len(blur_kernel)
+        pd = (kt - 2) + (ksize - 1)
+        x = blur(x, make_kernel(blur_kernel).astype(x.dtype),
+                 pad=((pd + 1) // 2, pd // 2))
+        out = equal_conv2d(p["conv"], x, stride=2, padding=0)
+    else:
+        padding = ksize // 2 + dilation - 1
+        out = equal_conv2d(p["conv"], x, stride=1, padding=padding,
+                           dilation=dilation)
+    if activate:
+        out = fused_leaky_relu(out, p.get("act_bias"))
+    return out
+
+
+def init_res_block(key, in_ch, out_ch):
+    k1, k2, k3 = jax.random.split(key, 3)
+    return {
+        "conv1": init_conv_layer(k1, in_ch, in_ch, 3),
+        "conv2": init_conv_layer(k2, in_ch, out_ch, 3, downsample=True),
+        "skip": init_conv_layer(k3, in_ch, out_ch, 1, downsample=True,
+                                bias=False, activate=False),
+    }
+
+
+def res_block(p, x):
+    """reference model.py:640-658."""
+    out = conv_layer(p["conv1"], x, 3)
+    out = conv_layer(p["conv2"], out, 3, downsample=True)
+    skip = conv_layer(p["skip"], x, 1, downsample=True, activate=False)
+    return (out + skip) / math.sqrt(2)
+
+
+# ---------------------------------------------------------------------------
+# modulated conv
+
+
+def init_modulated_conv2d(key, in_ch, out_ch, ksize, style_dim):
+    k1, k2 = jax.random.split(key)
+    return {
+        "weight": jax.random.normal(key, (ksize, ksize, in_ch, out_ch),
+                                    jnp.float32),
+        "modulation": init_equal_linear(k2, style_dim, in_ch, bias_init=1.0),
+    }
+
+
+def modulated_conv2d(p, x, style, demodulate=True, upsample=False,
+                     downsample=False, blur_kernel: Sequence[float] = BLUR_KERNEL,
+                     eps: float = 1e-8):
+    """reference model.py:170-306, scale-activations formulation (see module
+    docstring for the equivalence argument)."""
+    w = p["weight"]
+    kh, kw, cin, cout = w.shape
+    scale = 1.0 / math.sqrt(cin * kh * kw)
+
+    s = equal_linear(p["modulation"], style)  # (B, cin)
+
+    if demodulate:
+        # d_b,o = rsqrt( sum_i s_bi^2 * (scale^2 * sum_hw W_hwio^2) + eps )
+        w2 = (scale * scale) * jnp.sum(
+            jnp.square(w), axis=(0, 1)
+        )  # (cin, cout), f32
+        d = lax.rsqrt(
+            jnp.square(s.astype(jnp.float32)) @ w2 + eps
+        ).astype(x.dtype)  # (B, cout)
+
+    x = x * s[:, None, None, :].astype(x.dtype)
+    wsc = (w * scale).astype(x.dtype)
+
+    if upsample:
+        out = conv_transpose2d(x, jnp.swapaxes(wsc, 2, 3), stride=2, padding=0)
+        kt = len(blur_kernel)
+        pd = (kt - 2) - (kh - 1)
+        pad0 = (pd + 1) // 2 + 1  # + (factor - 1)
+        pad1 = pd // 2 + 1
+        out = blur(out, make_kernel(blur_kernel).astype(out.dtype),
+                   pad=(pad0, pad1), upsample_factor=2)
+    elif downsample:
+        kt = len(blur_kernel)
+        pd = (kt - 2) + (kh - 1)
+        x = blur(x, make_kernel(blur_kernel).astype(x.dtype),
+                 pad=((pd + 1) // 2, pd // 2))
+        out = conv2d(x, wsc, stride=2, padding=0)
+    else:
+        out = conv2d(x, wsc, padding=kh // 2)
+
+    if demodulate:
+        out = out * d[:, None, None, :]
+    return out
+
+
+def init_noise_injection():
+    return {"weight": jnp.zeros((), jnp.float32)}
+
+
+def noise_injection(p, x, noise):
+    """reference model.py:309-320; VToonify always passes explicit noise
+    (zeroed at inference, model/vtoonify.py:266-267)."""
+    if noise is None:
+        return x
+    return x + p["weight"].astype(x.dtype) * noise.astype(x.dtype)
+
+
+def init_styled_conv(key, in_ch, out_ch, ksize, style_dim):
+    k1, _ = jax.random.split(key)
+    return {
+        "conv": init_modulated_conv2d(k1, in_ch, out_ch, ksize, style_dim),
+        "noise": init_noise_injection(),
+        "act_bias": jnp.zeros((out_ch,), jnp.float32),
+    }
+
+
+def styled_conv(p, x, style, noise=None, upsample=False, demodulate=True):
+    """reference model.py:336-370."""
+    out = modulated_conv2d(p["conv"], x, style, demodulate=demodulate,
+                           upsample=upsample)
+    out = noise_injection(p["noise"], out, noise)
+    return fused_leaky_relu(out, p["act_bias"])
+
+
+def init_to_rgb(key, in_ch, style_dim):
+    return {
+        "conv": init_modulated_conv2d(key, in_ch, 3, 1, style_dim),
+        "bias": jnp.zeros((1, 1, 1, 3), jnp.float32),
+    }
+
+
+def to_rgb(p, x, style, skip=None, blur_kernel: Sequence[float] = BLUR_KERNEL):
+    """reference model.py:373-392 (1×1 mod conv without demodulation)."""
+    out = modulated_conv2d(p["conv"], x, style, demodulate=False)
+    out = out + p["bias"].astype(out.dtype)
+    if skip is not None:
+        skip = upsample_2x(skip, make_kernel(blur_kernel).astype(skip.dtype))
+        out = out + skip
+    return out
+
+
+# ---------------------------------------------------------------------------
+# plain torch-style layers (used by VToonify encoder / BiSeNet / pSp)
+
+
+def init_conv2d_torch(key, in_ch, out_ch, ksize, bias=True):
+    """torch nn.Conv2d default init: kaiming_uniform(a=√5) + uniform bias."""
+    k1, k2 = jax.random.split(key)
+    fan_in = in_ch * ksize * ksize
+    bound = math.sqrt(6.0 / ((1 + 5.0) * fan_in))  # gain²=2/(1+a²)=1/3 → √(3·1/3/fan)
+    p = {
+        "weight": jax.random.uniform(
+            k1, (ksize, ksize, in_ch, out_ch), jnp.float32, -bound, bound
+        )
+    }
+    if bias:
+        b_bound = 1.0 / math.sqrt(fan_in)
+        p["bias"] = jax.random.uniform(k2, (out_ch,), jnp.float32, -b_bound, b_bound)
+    return p
+
+
+def conv2d_torch(p, x, stride=1, padding=0, dilation=1, groups=1):
+    out = conv2d(x, p["weight"].astype(x.dtype), stride=stride, padding=padding,
+                 dilation=dilation, groups=groups)
+    if "bias" in p:
+        out = out + p["bias"].astype(out.dtype)
+    return out
+
+
+def init_linear_torch(key, in_dim, out_dim, bias=True):
+    k1, k2 = jax.random.split(key)
+    bound = math.sqrt(6.0 / ((1 + 5.0) * in_dim))
+    p = {"weight": jax.random.uniform(k1, (in_dim, out_dim), jnp.float32,
+                                      -bound, bound)}
+    if bias:
+        b = 1.0 / math.sqrt(in_dim)
+        p["bias"] = jax.random.uniform(k2, (out_dim,), jnp.float32, -b, b)
+    return p
+
+
+def linear_torch(p, x):
+    out = x @ p["weight"].astype(x.dtype)
+    if "bias" in p:
+        out = out + p["bias"].astype(out.dtype)
+    return out
+
+
+def instance_norm_2d(x, eps: float = 1e-5):
+    """torch nn.InstanceNorm2d(affine=False) — per (N, C) spatial stats."""
+    mean = jnp.mean(x, axis=(1, 2), keepdims=True)
+    var = jnp.var(x, axis=(1, 2), keepdims=True)
+    return (x - mean) * lax.rsqrt(var + eps)
+
+
+def batch_norm_2d(p, x, eps: float = 1e-5):
+    """torch nn.BatchNorm2d in eval mode (running stats)."""
+    inv = lax.rsqrt(p["running_var"] + eps) * p["weight"]
+    return x * inv.astype(x.dtype) + (
+        p["bias"] - p["running_mean"] * inv
+    ).astype(x.dtype)
+
+
+def init_batch_norm_2d(ch):
+    return {
+        "weight": jnp.ones((ch,), jnp.float32),
+        "bias": jnp.zeros((ch,), jnp.float32),
+        "running_mean": jnp.zeros((ch,), jnp.float32),
+        "running_var": jnp.ones((ch,), jnp.float32),
+    }
+
+
+def prelu(p, x):
+    """torch nn.PReLU with per-channel weight (channel-last)."""
+    w = p["weight"].astype(x.dtype)
+    return jnp.where(x >= 0, x, w * x)
+
+
+# ---------------------------------------------------------------------------
+# AdaIN + ModRes (reference model/dualstylegan.py:6-45)
+
+
+def init_adaptive_instance_norm(key, fin, style_dim=512):
+    p = init_linear_torch(key, style_dim, fin * 2)
+    p["bias"] = p["bias"].at[:fin].set(1.0).at[fin:].set(0.0)
+    return {"style": p}
+
+
+def adaptive_instance_norm(p, x, style):
+    fin = x.shape[-1]
+    st = linear_torch(p["style"], style)  # (B, 2*fin)
+    gamma = st[:, None, None, :fin]
+    beta = st[:, None, None, fin:]
+    return gamma * instance_norm_2d(x) + beta
+
+
+def init_ada_res_block(key, fin, style_dim=512):
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    p = {
+        "conv1": init_conv_layer(k1, fin, fin, 3),
+        "conv2": init_conv_layer(k2, fin, fin, 3),
+        "norm1": init_adaptive_instance_norm(k3, fin, style_dim),
+        "norm2": init_adaptive_instance_norm(k4, fin, style_dim),
+    }
+    # near-zero conv init → negligible residual at start (dualstylegan.py:35-36)
+    p["conv1"]["conv"]["weight"] = p["conv1"]["conv"]["weight"] * 0.01
+    p["conv2"]["conv"]["weight"] = p["conv2"]["conv"]["weight"] * 0.01
+    return p
+
+
+def ada_res_block(p, x, style, w=1.0, dilation=1):
+    """reference dualstylegan.py:24-45. `w` may be a traced scalar; the
+    reference's early-out at w==0 is a Python-level shortcut we only take for
+    static zeros."""
+    if isinstance(w, (int, float)) and w == 0:
+        return x
+    out = conv_layer(p["conv1"], adaptive_instance_norm(p["norm1"], x, style),
+                     3, dilation=dilation)
+    out = conv_layer(p["conv2"], adaptive_instance_norm(p["norm2"], out, style),
+                     3, dilation=dilation)
+    return out * w + x
