@@ -179,3 +179,125 @@ def convert_ada_res_block(sd, prefix):
         "norm1": convert_adain(sd, f"{prefix}.norm"),
         "norm2": convert_adain(sd, f"{prefix}.norm2"),
     }
+
+
+# --- composite models --------------------------------------------------------
+
+
+def convert_dualstylegan(sd, cfg, prefix=""):
+    """DualStyleGAN state_dict → params (cfg: DualStyleGANConfig)."""
+    p = prefix + "." if prefix else ""
+    res = []
+    ri = cfg.res_index_eff
+    res.append(convert_ada_res_block(sd, f"{p}res.0"))
+    j = 1
+    for i in range(3, cfg.log_size + 1):
+        for _ in range(2):
+            if i < 3 + ri // 2:
+                res.append(convert_ada_res_block(sd, f"{p}res.{j}"))
+            else:
+                res.append(_linear(sd, f"{p}res.{j}"))
+            j += 1
+    res.append(_linear(sd, f"{p}res.{j}"))
+    return {
+        "style": [
+            _linear(sd, f"{p}style.{i + 1}") for i in range(cfg.n_mlp - 6)
+        ],
+        "generator": convert_generator(sd, cfg.generator, prefix=f"{p}generator"),
+        "res": res,
+    }
+
+
+def convert_fusion(sd, prefix):
+    return {
+        "conv": _conv(sd, f"{prefix}.conv"),
+        "norm": convert_adain(sd, f"{prefix}.norm"),
+        "conv2": _conv(sd, f"{prefix}.conv2"),
+        "linear": [
+            _linear(sd, f"{prefix}.linear.0"),
+            _linear(sd, f"{prefix}.linear.2"),
+        ],
+    }
+
+
+def convert_vtoonify_res_block(sd, prefix):
+    return {
+        "conv1": _conv(sd, f"{prefix}.conv"),
+        "conv2": _conv(sd, f"{prefix}.conv2"),
+    }
+
+
+def convert_vtoonify(sd, cfg, prefix=""):
+    """VToonify state_dict → params (cfg: VToonifyConfig). Handles both the
+    full model dict and partial ones (missing submodules are skipped)."""
+    p = prefix + "." if prefix else ""
+    is_d = cfg.backbone == "dualstylegan"
+    out = {}
+
+    if any(k.startswith(f"{p}generator.") for k in sd):
+        if is_d:
+            out["generator"] = convert_dualstylegan(
+                sd, cfg.dualstylegan, prefix=f"{p}generator"
+            )
+        else:
+            out["generator"] = convert_generator(
+                sd, cfg.generator, prefix=f"{p}generator"
+            )
+
+    if any(k.startswith(f"{p}encoder.") for k in sd):
+        n_down = sum(1 for r in cfg.encoder_res if r > 32)
+        enc = {
+            "stem": [
+                _conv(sd, f"{p}encoder.0.0"),
+                _conv(sd, f"{p}encoder.0.2"),
+            ],
+            "down": [
+                [
+                    _conv(sd, f"{p}encoder.{i + 1}.0"),
+                    _conv(sd, f"{p}encoder.{i + 1}.2"),
+                ]
+                for i in range(n_down)
+            ],
+            "resblocks": [
+                convert_vtoonify_res_block(
+                    sd, f"{p}encoder.{n_down + 1}.{j}"
+                )
+                for j in range(cfg.num_res_layers)
+            ],
+            "final": _conv(sd, f"{p}encoder.{n_down + 2}"),
+        }
+        out["encoder"] = enc
+
+    if any(k.startswith(f"{p}fusion_out.") for k in sd):
+        n_fuse = len(cfg.encoder_res)
+        if is_d:
+            out["fusion_out"] = [
+                convert_fusion(sd, f"{p}fusion_out.{i}") for i in range(n_fuse)
+            ]
+        else:
+            out["fusion_out"] = [
+                _conv(sd, f"{p}fusion_out.{i}") for i in range(n_fuse)
+            ]
+        out["fusion_skip"] = [
+            _conv(sd, f"{p}fusion_skip.{i}") for i in range(n_fuse)
+        ]
+
+    if is_d and any(k.startswith(f"{p}res.") for k in sd):
+        out["res"] = [
+            convert_ada_res_block(sd, f"{p}res.{j}") for j in range(7)
+        ]
+    return out
+
+
+def convert_cond_discriminator(sd, cfg, prefix=""):
+    """ConditionalDiscriminator (reference vtoonify.py:10-89)."""
+    p = prefix + "." if prefix else ""
+    base = convert_discriminator(sd, cfg.base, prefix=prefix)
+    if cfg.use_condition:
+        base["label_mapper"] = [
+            _linear(sd, f"{p}label_mapper.0"),
+            _linear(sd, f"{p}label_mapper.2"),
+            _linear(sd, f"{p}label_mapper.4"),
+        ]
+        base["style_embed"] = _j(sd[f"{p}style_mapper.weight"])
+    return base
