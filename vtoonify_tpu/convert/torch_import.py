@@ -301,3 +301,127 @@ def convert_cond_discriminator(sd, cfg, prefix=""):
         ]
         base["style_embed"] = _j(sd[f"{p}style_mapper.weight"])
     return base
+
+
+# --- pSp encoder (reference model/encoder/encoders/psp_encoders.py) ----------
+
+
+def convert_psp_encoder(sd, cfg, prefix=""):
+    """GradualStyleEncoder state_dict → params (cfg: PSPEncoderConfig).
+
+    Accepts either a bare encoder state_dict or the full pSp checkpoint's
+    `state_dict` with `encoder.` prefixes (pass prefix="encoder")."""
+    p = prefix + "." if prefix else ""
+
+    def bottleneck(i):
+        b = f"{p}body.{i}"
+        out = {
+            "bn0": convert_batch_norm(sd, f"{b}.res_layer.0"),
+            "conv1": _conv(sd, f"{b}.res_layer.1"),
+            "prelu": {"weight": _j(sd[f"{b}.res_layer.2.weight"])},
+            "conv2": _conv(sd, f"{b}.res_layer.3"),
+            "bn2": convert_batch_norm(sd, f"{b}.res_layer.4"),
+            "se": {
+                "fc1": _conv(sd, f"{b}.res_layer.5.fc1"),
+                "fc2": _conv(sd, f"{b}.res_layer.5.fc2"),
+            },
+        }
+        if f"{b}.shortcut_layer.0.weight" in sd:
+            out["shortcut_conv"] = _conv(sd, f"{b}.shortcut_layer.0")
+            out["shortcut_bn"] = convert_batch_norm(sd, f"{b}.shortcut_layer.1")
+        return out
+
+    def style_block(j):
+        s = f"{p}styles.{j}"
+        convs = []
+        i = 0
+        while f"{s}.convs.{i}.weight" in sd:
+            convs.append(_conv(sd, f"{s}.convs.{i}"))
+            i += 2  # LeakyReLU in between
+        return {"convs": convs, "linear": _linear(sd, f"{s}.linear")}
+
+    n_body = 0
+    while f"{p}body.{n_body}.res_layer.1.weight" in sd:
+        n_body += 1
+
+    return {
+        "input_conv": _conv(sd, f"{p}input_layer.0"),
+        "input_bn": convert_batch_norm(sd, f"{p}input_layer.1"),
+        "input_prelu": {"weight": _j(sd[f"{p}input_layer.2.weight"])},
+        "body": [bottleneck(i) for i in range(n_body)],
+        "styles": [style_block(j) for j in range(cfg.n_styles)],
+        "latlayer1": _conv(sd, f"{p}latlayer1"),
+        "latlayer2": _conv(sd, f"{p}latlayer2"),
+    }
+
+
+def load_psp_standalone(ckpt: dict, cfg):
+    """Reference util.py:143-161: strip `encoder.` keys, keep latent_avg.
+
+    Args: ckpt — a torch.load()'d pSp checkpoint dict already flattened to
+    numpy (keys `state_dict`→flat dict, `latent_avg`).
+    Returns (params, latent_avg).
+    """
+    sd = ckpt["state_dict"] if "state_dict" in ckpt else ckpt
+    sub = {k[len("encoder."):]: v for k, v in sd.items()
+           if k.startswith("encoder.")}
+    params = convert_psp_encoder(sub, cfg)
+    latent_avg = _j(ckpt["latent_avg"]) if "latent_avg" in ckpt else None
+    return params, latent_avg
+
+
+# --- BiSeNet (reference model/bisenet/model.py) -------------------------------
+
+
+def convert_bisenet(sd, prefix=""):
+    p = prefix + "." if prefix else ""
+
+    def cbr(pre):
+        return {"conv": _conv(sd, f"{pre}.conv"),
+                "bn": convert_batch_norm(sd, f"{pre}.bn")}
+
+    def basic(pre):
+        out = {
+            "conv1": _conv(sd, f"{pre}.conv1"),
+            "bn1": convert_batch_norm(sd, f"{pre}.bn1"),
+            "conv2": _conv(sd, f"{pre}.conv2"),
+            "bn2": convert_batch_norm(sd, f"{pre}.bn2"),
+        }
+        if f"{pre}.downsample.0.weight" in sd:
+            out["down_conv"] = _conv(sd, f"{pre}.downsample.0")
+            out["down_bn"] = convert_batch_norm(sd, f"{pre}.downsample.1")
+        return out
+
+    def arm(pre):
+        return {
+            "conv": cbr(f"{pre}.conv"),
+            "conv_atten": _conv(sd, f"{pre}.conv_atten"),
+            "bn_atten": convert_batch_norm(sd, f"{pre}.bn_atten"),
+        }
+
+    def head(pre):
+        return {"conv": cbr(f"{pre}.conv"),
+                "conv_out": _conv(sd, f"{pre}.conv_out")}
+
+    rn = f"{p}cp.resnet"
+    resnet = {"conv1": _conv(sd, f"{rn}.conv1"),
+              "bn1": convert_batch_norm(sd, f"{rn}.bn1")}
+    for layer in ("layer1", "layer2", "layer3", "layer4"):
+        resnet[layer] = [basic(f"{rn}.{layer}.0"), basic(f"{rn}.{layer}.1")]
+
+    return {
+        "resnet": resnet,
+        "arm16": arm(f"{p}cp.arm16"),
+        "arm32": arm(f"{p}cp.arm32"),
+        "conv_head32": cbr(f"{p}cp.conv_head32"),
+        "conv_head16": cbr(f"{p}cp.conv_head16"),
+        "conv_avg": cbr(f"{p}cp.conv_avg"),
+        "ffm": {
+            "convblk": cbr(f"{p}ffm.convblk"),
+            "conv1": _conv(sd, f"{p}ffm.conv1"),
+            "conv2": _conv(sd, f"{p}ffm.conv2"),
+        },
+        "conv_out": head(f"{p}conv_out"),
+        "conv_out16": head(f"{p}conv_out16"),
+        "conv_out32": head(f"{p}conv_out32"),
+    }
