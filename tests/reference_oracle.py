@@ -52,6 +52,14 @@ def install():
         tv = types.ModuleType("torchvision")
         sys.modules["torchvision"] = tv
 
+    # dlib is absent; align_all_parallel imports it at module level but tests
+    # inject landmarks directly.
+    if "dlib" not in sys.modules:
+        dl = types.ModuleType("dlib")
+        dl.get_frontal_face_detector = lambda: (lambda img, n: [])
+        dl.shape_predictor = lambda path: None
+        sys.modules["dlib"] = dl
+
     _installed = True
 
 

@@ -1,0 +1,155 @@
+"""End-to-end pipeline tests: the fused frame graph vs the reference
+composition (style_transfer.py:165-177), plus the video engine."""
+
+import os
+
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as F
+
+import jax.numpy as jnp
+
+from tests import reference_oracle as oracle
+from vtoonify_tpu.convert.torch_import import (
+    convert_bisenet,
+    convert_vtoonify,
+    flatten_torch_state,
+)
+from vtoonify_tpu.models.vtoonify import VToonifyConfig
+from vtoonify_tpu.pipeline.toonify import ToonifyPipeline, frame_graph
+
+oracle.install()
+from model.bisenet.model import BiSeNet  # noqa: E402
+from model.vtoonify import VToonify  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def tiny_models():
+    torch.manual_seed(40)
+    vt_ref = VToonify(in_size=32, out_size=128, channel_multiplier=1,
+                      num_res_layers=2, backbone="dualstylegan").eval()
+    bn_ref = BiSeNet(19).eval()
+    cfg = VToonifyConfig(in_size=32, out_size=128, channel_multiplier=1,
+                         num_res_layers=2, backbone="dualstylegan")
+    vt_params = convert_vtoonify(flatten_torch_state(vt_ref), cfg)
+    bn_params = convert_bisenet(flatten_torch_state(bn_ref))
+    return vt_ref, bn_ref, cfg, vt_params, bn_params
+
+
+def test_frame_graph_parity(tiny_models):
+    vt_ref, bn_ref, cfg, vt_params, bn_params = tiny_models
+    rng = np.random.RandomState(41)
+    frames = rng.randint(0, 256, (2, 32, 32, 3), dtype=np.uint8)
+    s_w = (rng.randn(1, cfg.n_latent, 512) * 0.3).astype(np.float32)
+    d_s = 0.5
+
+    # reference composition
+    x = torch.from_numpy(
+        np.transpose(frames, (0, 3, 1, 2)).astype(np.float32) / 127.5 - 1.0
+    )
+    with torch.no_grad():
+        x2 = F.interpolate(x, scale_factor=2, mode="bilinear",
+                           align_corners=False)
+        x_p = F.interpolate(bn_ref(2 * x2)[0], scale_factor=0.5,
+                            recompute_scale_factor=False)
+        inputs = torch.cat((x, x_p / 16.0), dim=1)
+        y_ref = vt_ref(inputs, torch.from_numpy(s_w).repeat(2, 1, 1), d_s=d_s)
+        y_ref = torch.clamp(y_ref, -1, 1)
+    ref_u8 = np.round(
+        (np.transpose(y_ref.numpy(), (0, 2, 3, 1)) + 1) * 127.5
+    ).astype(np.uint8)
+
+    ours = np.asarray(
+        frame_graph(vt_params, cfg, bn_params, jnp.asarray(frames),
+                    jnp.asarray(s_w), d_s, dtype=jnp.float32)
+    )
+    # uint8 comparison; allow ±1 quantization-boundary differences
+    diff = np.abs(ours.astype(np.int32) - ref_u8.astype(np.int32))
+    assert diff.max() <= 1, f"max uint8 diff {diff.max()}"
+    assert (diff > 0).mean() < 0.05
+
+
+def test_video_engine(tiny_models, tmp_path):
+    import cv2
+
+    _, _, cfg, vt_params, bn_params = tiny_models
+    pipe = ToonifyPipeline(vt_params, cfg, bn_params, dtype=jnp.float32)
+
+    # synthesize a tiny test video
+    src = str(tmp_path / "in.mp4")
+    wr = cv2.VideoWriter(src, cv2.VideoWriter_fourcc(*"mp4v"), 10, (32, 32))
+    rng = np.random.RandomState(42)
+    for _ in range(7):
+        wr.write(rng.randint(0, 255, (32, 32, 3), dtype=np.uint8))
+    wr.release()
+
+    from vtoonify_tpu.pipeline.video import toonify_video
+
+    s_w = jnp.asarray(rng.randn(1, cfg.n_latent, 512).astype(np.float32) * 0.3)
+    out = str(tmp_path / "out.mp4")
+    result = toonify_video(
+        pipe, src, out, s_w=s_w, scale_image=False, batch_size=3,
+        style_degree=0.5,
+    )
+    assert result.frames_written == 7
+    cap = cv2.VideoCapture(out)
+    assert int(cap.get(cv2.CAP_PROP_FRAME_COUNT)) == 7
+    assert int(cap.get(cv2.CAP_PROP_FRAME_WIDTH)) == 128
+    cap.release()
+
+
+def test_align_face_parity():
+    """Our dlib-free align_face vs the reference's, from shared landmarks."""
+    from model.encoder import align_all_parallel as ref_align
+    from vtoonify_tpu.pipeline.crop import (
+        align_face_from_landmarks,
+        crop_parameter_from_landmarks,
+    )
+
+    rng = np.random.RandomState(43)
+    img = rng.randint(0, 255, (300, 280, 3), dtype=np.uint8)
+    # plausible frontal-face landmarks
+    lm = np.zeros((68, 2))
+    lm[36:42] = [110, 120] + rng.rand(6, 2) * 8
+    lm[42:48] = [170, 120] + rng.rand(6, 2) * 8
+    lm[48:60] = [140, 200] + rng.rand(12, 2) * 20
+    lm[0:17] = np.stack(
+        [np.linspace(80, 200, 17), 160 + 60 * np.sin(np.linspace(0, 3.14, 17))],
+        axis=1,
+    )
+
+    class FakePredictor:
+        def __call__(self, image, det):
+            class Shape:
+                def parts(self):
+                    class Pt:
+                        def __init__(self, x, y):
+                            self.x, self.y = int(x), int(y)
+
+                    return [Pt(x, y) for x, y in lm]
+
+            return Shape()
+
+    # monkeypatch reference get_landmark to bypass dlib
+    lmi = lm.astype(np.int64)  # dlib yields integer landmark coords
+    orig = ref_align.get_landmark
+    ref_align.get_landmark = lambda f, p: lmi
+    try:
+        ref_img = ref_align.align_face(img, None)
+    finally:
+        ref_align.get_landmark = orig
+
+    ours = align_face_from_landmarks(img, lmi)
+    assert ours.shape == (256, 256, 3)
+    diff = np.abs(
+        ours.astype(np.int32) - np.asarray(ref_img).astype(np.int32)
+    )
+    assert diff.max() <= 1
+
+    # crop parameter math (util.py:163-188)
+    params = crop_parameter_from_landmarks(lm, img.shape[:2])
+    h, w, top, bottom, left, right, scale = params
+    assert all(v % 8 == 0 for v in (top, bottom, left, right))
+    eye_dist = np.mean(lm[42:48, 0]) - np.mean(lm[36:42, 0])
+    assert np.isclose(scale, 64.0 / eye_dist)

@@ -1,0 +1,164 @@
+"""The per-frame toonification graph + pipeline object.
+
+TPU-native design (BASELINE.json north star): BiSeNet parsing, input
+normalization, VToonify synthesis and uint8 re-quantization are fused into ONE
+jitted graph per input-shape bucket — frames go device-side as uint8 (4×
+less H2D traffic than float32) and come back as uint8 (16× less D2H than an
+f32 4H×4W frame). The reference runs parsing and synthesis as separate
+dispatches with float tensors (style_transfer.py:171-177).
+
+Compute dtype is bfloat16 by default (MXU-native); params are cast once at
+pipeline build.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vtoonify_tpu.models.bisenet import bisenet_apply
+from vtoonify_tpu.models.psp_encoder import PSPEncoderConfig, psp_encoder_apply
+from vtoonify_tpu.models.vtoonify import (
+    VToonifyConfig,
+    vtoonify_apply,
+    zplus2wplus,
+)
+from vtoonify_tpu.ops.interp import resize_bilinear, resize_nearest
+
+PARSING_WEIGHT = 1.0 / 16.0  # reference style_transfer.py:174
+
+
+def _cast_tree(tree, dtype):
+    return jax.tree_util.tree_map(
+        lambda a: a.astype(dtype) if jnp.issubdtype(a.dtype, jnp.floating) else a,
+        tree,
+    )
+
+
+def frame_graph(vt_params, vt_cfg: VToonifyConfig, parsing_params, frames_u8,
+                s_w, d_s, dtype=jnp.bfloat16):
+    """uint8 frames (B, H, W, 3) → stylized uint8 (B, 4H, 4W, 3).
+
+    Equivalent to reference style_transfer.py:165-177: BiSeNet on the 2×
+    bilinear-upsampled frame (×2 gain), nearest ×0.5 downsample of the logits,
+    1/16-weighted concat, VToonify forward, clamp.
+    """
+    x = frames_u8.astype(dtype) / jnp.asarray(127.5, dtype) - 1.0
+    b, h, w, _ = x.shape
+    x2 = resize_bilinear(x, (2 * h, 2 * w), align_corners=False)
+    logits = bisenet_apply(parsing_params, 2.0 * x2)
+    x_p = resize_nearest(logits, (h, w))
+    inputs = jnp.concatenate(
+        [x, x_p.astype(dtype) * jnp.asarray(PARSING_WEIGHT, dtype)], axis=-1
+    )
+    s_w_b = jnp.broadcast_to(s_w.astype(dtype), (b,) + s_w.shape[-2:])
+    y = vtoonify_apply(vt_params, vt_cfg, inputs, s_w_b, d_s=d_s)
+    y = jnp.clip(y, -1.0, 1.0)
+    return jnp.round((y.astype(jnp.float32) + 1.0) * 127.5).astype(jnp.uint8)
+
+
+def frame_graph_with_parsing(vt_params, vt_cfg: VToonifyConfig, frames_u8,
+                             x_p, s_w, d_s, dtype=jnp.bfloat16):
+    """Variant taking precomputed parsing maps (B, H, W, 19) — the
+    --parsing_map_path capability (style_transfer.py:168-174)."""
+    x = frames_u8.astype(dtype) / jnp.asarray(127.5, dtype) - 1.0
+    b = x.shape[0]
+    inputs = jnp.concatenate(
+        [x, x_p.astype(dtype) * jnp.asarray(PARSING_WEIGHT, dtype)], axis=-1
+    )
+    s_w_b = jnp.broadcast_to(s_w.astype(dtype), (b,) + s_w.shape[-2:])
+    y = vtoonify_apply(vt_params, vt_cfg, inputs, s_w_b, d_s=d_s)
+    y = jnp.clip(y, -1.0, 1.0)
+    return jnp.round((y.astype(jnp.float32) + 1.0) * 127.5).astype(jnp.uint8)
+
+
+class ToonifyPipeline:
+    """Programmatic API over the jitted per-frame graph.
+
+    Holds device-resident (optionally bf16-cast) params and a jit cache keyed
+    by input shape. Style codes are computed once per image/video
+    (style_transfer.py:138-150) and frozen.
+    """
+
+    def __init__(
+        self,
+        vt_params,
+        vt_cfg: VToonifyConfig,
+        parsing_params,
+        psp_params=None,
+        psp_cfg: Optional[PSPEncoderConfig] = None,
+        latent_avg=None,
+        exstyle=None,  # z+ exemplar code (1, n_latent, 512), pre-zplus2wplus
+        dtype=jnp.bfloat16,
+    ):
+        self.vt_cfg = vt_cfg
+        self.dtype = dtype
+        # Keep an f32 copy of the pieces used for style preparation (done once,
+        # accuracy matters more than speed there).
+        self._vt_params_f32 = vt_params
+        self.vt_params = _cast_tree(vt_params, dtype)
+        self.parsing_params = _cast_tree(parsing_params, dtype)
+        self.psp_params = psp_params
+        self.psp_cfg = psp_cfg or PSPEncoderConfig()
+        self.latent_avg = latent_avg
+        self.exstyle_w = None
+        if exstyle is not None:
+            self.exstyle_w = zplus2wplus(
+                self._vt_params_f32, vt_cfg, jnp.asarray(exstyle)
+            )
+
+        self._frame_fn = jax.jit(
+            functools.partial(frame_graph, dtype=self.dtype),
+            static_argnums=(1,),
+        )
+        self._frame_fn_parsing = jax.jit(
+            functools.partial(frame_graph_with_parsing, dtype=self.dtype),
+            static_argnums=(1,),
+        )
+
+    # -- style preparation ---------------------------------------------------
+
+    def compute_style(self, aligned_face_u8: np.ndarray,
+                      color_transfer: bool = False):
+        """Aligned 256×256 face → frozen per-video style code s_w (1, L, 512).
+
+        reference style_transfer.py:140-149: pSp z+ → w+, then splice the
+        exemplar: structure-only (layers :7) or full color transfer.
+        """
+        if self.psp_params is None:
+            raise RuntimeError("pipeline built without a pSp encoder")
+        x = jnp.asarray(aligned_face_u8, jnp.float32)[None] / 127.5 - 1.0
+        zp = psp_encoder_apply(self.psp_params, self.psp_cfg, x,
+                               latent_avg=self.latent_avg)
+        s_w = zplus2wplus(self._vt_params_f32, self.vt_cfg, zp)
+        if self.vt_cfg.backbone == "dualstylegan" and self.exstyle_w is not None:
+            if color_transfer:
+                s_w = self.exstyle_w
+            else:
+                s_w = jnp.concatenate(
+                    [self.exstyle_w[:, :7], s_w[:, 7:]], axis=1
+                )
+        return s_w
+
+    # -- frame processing ----------------------------------------------------
+
+    def process_batch(self, frames_u8: np.ndarray, s_w, d_s: float):
+        """(B, H, W, 3) uint8 → (B, 4H, 4W, 3) uint8 device array (async)."""
+        return self._frame_fn(
+            self.vt_params, self.vt_cfg, self.parsing_params,
+            jnp.asarray(frames_u8), s_w, jnp.asarray(d_s, jnp.float32),
+        )
+
+    def process_batch_with_parsing(self, frames_u8: np.ndarray, x_p, s_w,
+                                   d_s: float):
+        return self._frame_fn_parsing(
+            self.vt_params, self.vt_cfg, jnp.asarray(frames_u8),
+            jnp.asarray(x_p), s_w, jnp.asarray(d_s, jnp.float32),
+        )
+
+    def process_image(self, frame_u8: np.ndarray, s_w, d_s: float) -> np.ndarray:
+        return np.asarray(self.process_batch(frame_u8[None], s_w, d_s)[0])

@@ -1,0 +1,173 @@
+"""Double-buffered video engine: decode → device → encode, overlapped.
+
+The reference's video loop is fully serialized per batch (CPU decode → H2D →
+GPU forward → D2H → CPU encode, style_transfer.py:99-183). Here the engine
+exploits JAX's asynchronous dispatch: up to `max_in_flight` device batches are
+enqueued before the first result is fetched, and encoding runs on a writer
+thread — so host decode/encode and TPU compute overlap (SURVEY.md §7.3 #9,
+where the ≥60 fps/chip target is won).
+"""
+
+from __future__ import annotations
+
+import collections
+import queue
+import threading
+from dataclasses import dataclass
+from typing import Callable, Iterable, Optional
+
+import numpy as np
+
+from vtoonify_tpu.pipeline import crop as crop_mod
+
+
+@dataclass
+class VideoResult:
+    frames_written: int
+    crop_params: Optional[tuple]
+
+
+def iterate_video_frames(path: str):
+    """Decode frames as RGB uint8 arrays."""
+    import cv2
+
+    cap = cv2.VideoCapture(path)
+    try:
+        fps = cap.get(cv2.CAP_PROP_FPS)
+        n = int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
+        for _ in range(n):
+            ok, frame = cap.read()
+            if not ok:
+                break
+            yield fps, cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)
+    finally:
+        cap.release()
+
+
+class _AsyncWriter:
+    """cv2.VideoWriter fed from a bounded queue on a worker thread."""
+
+    def __init__(self, path: str, fps: float, size_wh, maxsize: int = 8):
+        import cv2
+
+        self._cv2 = cv2
+        self._writer = cv2.VideoWriter(
+            path, cv2.VideoWriter_fourcc(*"mp4v"), fps, size_wh
+        )
+        self._q: queue.Queue = queue.Queue(maxsize=maxsize)
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._count = 0
+        self._thread.start()
+
+    def _run(self):
+        while True:
+            item = self._q.get()
+            if item is None:
+                break
+            self._writer.write(
+                self._cv2.cvtColor(item, self._cv2.COLOR_RGB2BGR)
+            )
+            self._count += 1
+
+    def write(self, frame_rgb_u8: np.ndarray):
+        self._q.put(frame_rgb_u8)
+
+    def close(self) -> int:
+        self._q.put(None)
+        self._thread.join()
+        self._writer.release()
+        return self._count
+
+
+def toonify_video(
+    pipeline,
+    in_path: str,
+    out_path: str,
+    *,
+    style_degree: float = 0.5,
+    color_transfer: bool = False,
+    landmarker=None,
+    scale_image: bool = True,
+    padding=(200, 200, 200, 200),
+    batch_size: int = 4,
+    max_in_flight: int = 3,
+    crop_out_path: Optional[str] = None,
+    s_w=None,
+    parsing_maps: Optional[np.ndarray] = None,
+    frame_limit: Optional[int] = None,
+) -> VideoResult:
+    """Stylize a video end to end (reference style_transfer.py video branch).
+
+    First frame fixes the crop parameters and the style code for the whole
+    video (style_transfer.py:113-150). `s_w` may be passed directly to skip
+    alignment (hermetic path). `parsing_maps` (N, H, W, 19) overrides BiSeNet
+    (the --parsing_map_path capability).
+    """
+    import jax
+
+    crop_params = None
+    writer = None
+    crop_writer = None
+    in_flight = collections.deque()
+    frames_done = 0
+    batch = []
+    first = True
+    frame_idx = 0
+
+    def flush_ready(block: bool):
+        nonlocal frames_done
+        while in_flight and (block or len(in_flight) >= max_in_flight):
+            dev_batch, count = in_flight.popleft()
+            host = np.asarray(dev_batch)  # blocks until TPU done
+            for k in range(count):
+                writer.write(host[k])
+            frames_done += count
+
+    def submit(frames):
+        arr = np.stack(frames)
+        if parsing_maps is not None:
+            pm = parsing_maps[frame_idx - len(frames): frame_idx]
+            out = pipeline.process_batch_with_parsing(
+                arr, pm, s_w, style_degree
+            )
+        else:
+            out = pipeline.process_batch(arr, s_w, style_degree)
+        in_flight.append((out, len(frames)))
+        flush_ready(block=False)
+
+    for fps, frame in iterate_video_frames(in_path):
+        if frame_limit is not None and frame_idx >= frame_limit:
+            break
+        if first:
+            if scale_image and landmarker is not None:
+                crop_params = crop_mod.get_video_crop_parameter(
+                    frame, landmarker, padding
+                )
+            frame = crop_mod.preprocess_frame(frame, crop_params, scale_image)
+            h, w = frame.shape[:2]
+            writer = _AsyncWriter(out_path, fps, (4 * w, 4 * h))
+            if crop_out_path:
+                crop_writer = _AsyncWriter(crop_out_path, fps, (w, h))
+            if s_w is None:
+                aligned = crop_mod.align_face(frame, landmarker)
+                s_w = pipeline.compute_style(aligned, color_transfer)
+            first = False
+        else:
+            frame = crop_mod.preprocess_frame(frame, crop_params, scale_image)
+
+        if crop_writer is not None:
+            crop_writer.write(frame)
+        batch.append(frame)
+        frame_idx += 1
+        if len(batch) == batch_size:
+            submit(batch)
+            batch = []
+
+    if batch:
+        submit(batch)
+    flush_ready(block=True)
+
+    written = writer.close() if writer else 0
+    if crop_writer is not None:
+        crop_writer.close()
+    return VideoResult(frames_written=written, crop_params=crop_params)
