@@ -1,0 +1,113 @@
+"""Multi-device tests on the virtual 8-device CPU mesh (SURVEY.md §4(d)):
+DP-sharded inference over the frame axis, and a DP×TP-sharded training step."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from vtoonify_tpu.models.bisenet import init_bisenet
+from vtoonify_tpu.models.psp_encoder import PSPEncoderConfig, init_psp_encoder
+from vtoonify_tpu.models.vtoonify import (
+    CondDiscriminatorConfig,
+    VToonifyConfig,
+    init_cond_discriminator,
+    init_vtoonify,
+)
+from vtoonify_tpu.parallel.mesh import (
+    make_mesh,
+    shard_array_batch,
+    shard_params,
+)
+
+TINY = VToonifyConfig(in_size=32, out_size=128, channel_multiplier=1,
+                      num_res_layers=2, backbone="dualstylegan")
+
+
+def test_eight_devices_present():
+    assert jax.device_count() >= 8
+
+
+def test_dp_inference_frame_sharding():
+    from vtoonify_tpu.pipeline.toonify import frame_graph
+
+    key = jax.random.PRNGKey(0)
+    ks = jax.random.split(key, 2)
+    vt_params = init_vtoonify(ks[0], TINY)
+    parsing_params = init_bisenet(ks[1])
+
+    mesh = make_mesh(8, tp=1)
+    vt_sh = shard_params(vt_params, mesh)
+    pp_sh = shard_params(parsing_params, mesh)
+
+    frames = np.random.RandomState(1).randint(
+        0, 256, (8, 32, 32, 3), dtype=np.uint8
+    )
+    frames_sh = shard_array_batch(jnp.asarray(frames), mesh)
+    s_w = jnp.zeros((1, TINY.n_latent, 512))
+
+    fn = jax.jit(frame_graph, static_argnums=(1,),
+                 static_argnames=("dtype",))
+    out = fn(vt_sh, TINY, pp_sh, frames_sh, s_w, jnp.asarray(0.5),
+             dtype=jnp.float32)
+    out.block_until_ready()
+    assert out.shape == (8, 128, 128, 3)
+    # output stays sharded over dp — frames never gathered to one device
+    assert len(out.sharding.device_set) == 8
+
+    # matches the unsharded single-device result
+    ref = fn(vt_params, TINY, parsing_params, jnp.asarray(frames), s_w,
+             jnp.asarray(0.5), dtype=jnp.float32)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
+def test_dp_tp_train_step():
+    from vtoonify_tpu.models.lpips import init_lpips
+    from vtoonify_tpu.train.steps import (
+        TrainDConfig,
+        init_train_d_state,
+        split_trainable,
+        train_d_step,
+    )
+
+    key = jax.random.PRNGKey(10)
+    ks = jax.random.split(key, 8)
+    vt_params = init_vtoonify(ks[0], TINY)
+    parsing_params = init_bisenet(ks[1])
+    directions = jax.random.normal(ks[2], (4, TINY.n_latent, 512)) * 0.1
+    styles = jax.random.normal(ks[3], (3, TINY.n_latent, 512)) * 0.3
+    dcfg = CondDiscriminatorConfig(size=64, channel_multiplier=1,
+                                   use_condition=True, style_num=3)
+    d_params = init_cond_discriminator(ks[4], dcfg)
+    psp_cfg = PSPEncoderConfig(n_styles=TINY.n_latent)
+    psp_params = init_psp_encoder(ks[5], psp_cfg)
+    lpips_params = init_lpips(ks[6])
+    tcfg = TrainDConfig(crop_size=96, lpips_size=64, aug_max_pad=40)
+
+    mesh = make_mesh(8, tp=2)  # 4-way DP × 2-way TP
+    _, frozen = split_trainable(vt_params, pretrain=False)
+    state = init_train_d_state(vt_params, d_params, batch=4, cfg=TINY,
+                               tcfg=tcfg)
+    # params TP-sharded over channel dims; batch DP-sharded
+    state = state._replace(
+        trainable=shard_params(state.trainable, mesh, tp=True),
+        d_params=shard_params(state.d_params, mesh, tp=True),
+    )
+    frozen = shard_params(frozen, mesh, tp=True)
+    parsing_sh = shard_params(parsing_params, mesh)
+    style_ind = shard_array_batch(jnp.array([0, 1, 2, 0]), mesh)
+    style = shard_array_batch(styles[jnp.array([0, 1, 2, 0])], mesh)
+
+    step = jax.jit(train_d_step,
+                   static_argnames=("cfg", "dcfg", "tcfg", "psp_cfg"))
+    state2, metrics = step(
+        state, frozen, parsing_sh, psp_params, psp_cfg, None, lpips_params,
+        TINY, dcfg, tcfg, directions, style, style_ind, jnp.asarray(0.4),
+        tuple([0.4] * 7 + [1.0] * (TINY.n_latent - 7)),
+        jnp.asarray(0.0), jnp.asarray(0.5), jnp.asarray(False), ks[7],
+    )
+    jax.block_until_ready(state2)
+    for k, v in metrics.items():
+        assert np.isfinite(float(v)), k
+    assert int(state2.step) == 1

@@ -66,7 +66,7 @@ class GeneratorConfig:
 
 def init_generator(key, cfg: GeneratorConfig):
     ch = cfg.channels
-    keys = jax.random.split(key, 8 + 4 * cfg.log_size)
+    keys = jax.random.split(key, cfg.n_mlp + 8 + 6 * cfg.log_size)
     ki = iter(keys)
 
     style = [
