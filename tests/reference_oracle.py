@@ -47,10 +47,19 @@ def install():
     except Exception:
         pass
 
-    # torchvision itself is absent; BiSeNet only imports it at module level.
+    # torchvision itself is absent; reference modules import it at module
+    # level (BiSeNet, util.py) but the oracle paths never call into it.
     if "torchvision" not in sys.modules:
         tv = types.ModuleType("torchvision")
+        tvt = types.ModuleType("torchvision.transforms")
+        for name in ("Compose", "ToTensor", "Normalize", "Resize"):
+            setattr(tvt, name, lambda *a, **k: None)
+        tvu = types.ModuleType("torchvision.utils")
+        tv.transforms = tvt
+        tv.utils = tvu
         sys.modules["torchvision"] = tv
+        sys.modules["torchvision.transforms"] = tvt
+        sys.modules["torchvision.utils"] = tvu
 
     # dlib is absent; align_all_parallel imports it at module level but tests
     # inject landmarks directly.

@@ -205,6 +205,10 @@ def prepare_styles(params, cfg: VToonifyConfig, style):
     is_d = cfg.backbone == "dualstylegan"
     n_latent = cfg.n_latent
     resstyles = None
+    if style is None:
+        # legal only with return_feat (T-pretrain teacher interface,
+        # train_vtoonify_t.py:122)
+        return None, None
     if style.ndim < 3:
         if is_d:
             rs = D.color_transform(params["generator"], style)
@@ -239,6 +243,7 @@ def vtoonify_apply(
     RGB + parsing-logit channels; H = W = multiple of 8 (any size; fusion
     stages are determined by cfg.in_size)."""
     is_d = cfg.backbone == "dualstylegan"
+    assert style is not None or return_feat, "style=None needs return_feat"
     resstyles, adastyles = prepare_styles(params, cfg, style)
 
     # --- encoder walk, collecting multi-scale features

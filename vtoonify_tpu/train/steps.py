@@ -273,3 +273,178 @@ def train_d_step(
         wc_prev=batch_data["wc"], step=state.step + 1,
     )
     return new_state, metrics
+
+
+# --- VToonify-T steps (reference train_vtoonify_t.py) ------------------------
+
+
+def pretrain_t_step(
+    state: PretrainState,
+    frozen,                    # {'generator', ...} of T vt params (blended G1)
+    base_params,               # un-blended base StyleGAN G0
+    parsing_params,
+    cfg: VToonifyConfig,
+    directions,
+    batch: int,
+    key,
+    lr: float = 1e-4,
+):
+    """reference train_vtoonify_t.py pretrain() body (:99-135)."""
+    opt = make_optimizer(lr)
+    vt_all = {**frozen, "encoder": state.encoder}
+    data = synth.synth_pretrain_t_batch(
+        key, base_params, cfg.generator, vt_all, cfg, parsing_params,
+        directions, batch,
+    )
+
+    def loss_fn(trainable):
+        params = {**frozen, **trainable}
+        fake_feat, fake_skip = vtoonify_apply(
+            params, cfg, data["real_input"], None, return_feat=True
+        )
+        return mse_loss(fake_feat, data["real_feat"]) + mse_loss(
+            fake_skip, data["real_skip"]
+        )
+
+    trainable = {"encoder": state.encoder}
+    loss, grads = jax.value_and_grad(loss_fn)(trainable)
+    updates, opt_state = opt.update(grads, state.opt_state, trainable)
+    trainable = optax.apply_updates(trainable, updates)
+    ema_enc = ema_update(state.ema_encoder, trainable["encoder"], EMA_DECAY)
+    return (
+        PretrainState(trainable["encoder"], ema_enc, opt_state, state.step + 1),
+        {"emse": loss},
+    )
+
+
+class TrainTState(NamedTuple):
+    trainable: dict
+    ema: dict
+    d_params: dict
+    g_opt_state: tuple
+    d_opt_state: tuple
+    step: jnp.ndarray
+
+
+def init_train_t_state(vt_params, d_params, tcfg: TrainDConfig) -> TrainTState:
+    trainable, _ = split_trainable(vt_params, pretrain=False)
+    g_opt = make_optimizer(tcfg.lr)
+    d_opt = make_optimizer(tcfg.lr)
+    return TrainTState(
+        trainable=trainable,
+        ema=jax.tree_util.tree_map(lambda a: a, trainable),
+        d_params=d_params,
+        g_opt_state=g_opt.init(trainable),
+        d_opt_state=d_opt.init(d_params),
+        step=jnp.zeros((), jnp.int32),
+    )
+
+
+def train_t_step(
+    state: TrainTState,
+    frozen,
+    base_params,
+    parsing_params,
+    psp_params,
+    psp_cfg,
+    latent_avg,
+    lpips_params,
+    cfg: VToonifyConfig,
+    dcfg: CondDiscriminatorConfig,   # use_condition=False for T
+    tcfg: TrainDConfig,
+    directions,
+    batch: int,
+    tmp_ramp,
+    key,
+):
+    """One full VToonify-T iteration (train_vtoonify_t.py:192-276): no style
+    degree, unconditional D, no mask loss."""
+    g_opt = make_optimizer(tcfg.lr)
+    d_opt = make_optimizer(tcfg.lr)
+    k_synth, k_crop = jax.random.split(key)
+
+    vt_all = {**frozen, **state.trainable}
+    data = synth.synth_train_t_batch(
+        k_synth, base_params, cfg.generator, vt_all, cfg, parsing_params,
+        psp_params, psp_cfg, latent_avg, directions, batch,
+        aug_p=tcfg.aug_p, aug_max_pad=tcfg.aug_max_pad,
+    )
+    xl = data["xl"]
+    pool_to_256 = max(1, cfg.out_size // dcfg.size)
+
+    fake_output = jax.lax.stop_gradient(
+        vtoonify_apply(vt_all, cfg, data["real_input"], xl)
+    )
+
+    def d_loss_fn(d_params):
+        fake_pred = cond_discriminator_apply(
+            d_params, dcfg, avg_pool(fake_output, pool_to_256)
+        )
+        real_pred = cond_discriminator_apply(
+            d_params, dcfg, avg_pool(data["real_output"], pool_to_256)
+        )
+        return d_logistic_loss(real_pred, fake_pred) * tcfg.adv_loss
+
+    d_loss, d_grads = jax.value_and_grad(d_loss_fn)(state.d_params)
+    d_updates, d_opt_state = d_opt.update(d_grads, state.d_opt_state,
+                                          state.d_params)
+    d_params = optax.apply_updates(state.d_params, d_updates)
+
+    cs = tcfg.crop_size
+    max_off = cfg.out_size - cs
+    off_w = jax.random.randint(k_crop, (), 0, max_off + 1)
+    off_h = jax.random.randint(jax.random.fold_in(k_crop, 1), (), 0,
+                               max_off + 1)
+
+    def g_loss_fn(trainable):
+        params = {**frozen, **trainable}
+        fake_output = vtoonify_apply(params, cfg, data["real_input"], xl)
+        fake_pred = cond_discriminator_apply(
+            d_params, dcfg, avg_pool(fake_output, pool_to_256)
+        )
+        g_adv = g_nonsaturating_loss(fake_pred) * tcfg.adv_loss
+        g_rec = mse_loss(fake_output, data["real_output"]) * tcfg.grec_loss
+        pool_to_512 = max(1, cfg.out_size // tcfg.lpips_size)
+        g_feat = jnp.sum(
+            lpips_apply(
+                lpips_params,
+                avg_pool(fake_output, pool_to_512),
+                avg_pool(data["real_output"], pool_to_512),
+            )
+        ) * tcfg.perc_loss
+
+        full = jnp.concatenate(
+            [data["real_input1024"], data["mask1024"] * synth.PARSING_WEIGHT],
+            axis=-1,
+        )
+        crop_input = jax.lax.dynamic_slice(
+            full, (0, off_w, off_h, 0),
+            (full.shape[0], cs, cs, full.shape[-1]),
+        )
+        crop_input = synth.down(synth.down(crop_input))
+        crop_fake_output = jax.lax.dynamic_slice(
+            fake_output, (0, off_w, off_h, 0),
+            (fake_output.shape[0], cs, cs, 3),
+        )
+        fake_crop_output = vtoonify_apply(params, cfg, crop_input, xl)
+        g_tmp = (
+            jnp.mean(jnp.square(fake_crop_output - crop_fake_output))
+            * tmp_ramp * tcfg.tmp_loss
+        )
+        total = g_adv + g_rec + g_feat + g_tmp
+        return total, {"g": g_adv, "gr": g_rec, "gf": g_feat, "tp": g_tmp}
+
+    (_, metrics), g_grads = jax.value_and_grad(g_loss_fn, has_aux=True)(
+        state.trainable
+    )
+    g_updates, g_opt_state = g_opt.update(g_grads, state.g_opt_state,
+                                          state.trainable)
+    trainable = optax.apply_updates(state.trainable, g_updates)
+    ema = ema_update(state.ema, trainable, EMA_DECAY)
+
+    metrics["d"] = d_loss
+    return (
+        TrainTState(trainable, ema, d_params, g_opt_state, d_opt_state,
+                    state.step + 1),
+        metrics,
+    )

@@ -180,3 +180,92 @@ def synth_train_batch(key, vt_params, cfg: VToonifyConfig, parsing_params,
         "xl": xl,
         "wc": sg(wc),
     }
+
+
+# --- VToonify-T variants (reference train_vtoonify_t.py) ---------------------
+
+
+def synth_pretrain_t_batch(key, base_params, gcfg, vt_params,
+                           cfg: VToonifyConfig, parsing_params, directions,
+                           batch: int):
+    """T-pretrain teacher data (train_vtoonify_t.py:105-119): content from the
+    un-blended base G0; teacher features from the blended G1 via the
+    return_feature_ind=6 early exit."""
+    k1, k2, k3 = jax.random.split(key, 3)
+    ws = sample_content_w_batch(k1, base_params, gcfg, directions, batch)
+    img_gen = stylegan_image(base_params, gcfg, ws, k2)
+    img512 = down(img_gen)
+    img256 = down(img512)
+    mask512 = parsing_input(parsing_params, img512)
+    real_input = jnp.concatenate(
+        [img256, down(mask512) * PARSING_WEIGHT], axis=-1
+    )
+    gp = vt_params["generator"]
+    noise = G.make_noise(gp, gcfg, k3, randomize=True, batch=batch)
+    real_feat, real_skip = G.generator_apply(
+        gp, gcfg, 0.5 * ws, noise=noise, return_feature_ind=6
+    )
+    sg = jax.lax.stop_gradient
+    return {
+        "real_input": sg(real_input),
+        "real_feat": sg(real_feat),
+        "real_skip": sg(real_skip),
+    }
+
+
+def synth_train_t_batch(key, base_params, gcfg, vt_params,
+                        cfg: VToonifyConfig, parsing_params, psp_params,
+                        psp_cfg, latent_avg, directions, batch: int,
+                        aug_p: float = 0.2, aug_max_pad=None):
+    """T full-training pair (train_vtoonify_t.py:193-218): xl = concat of the
+    0.5-truncated first-7 content w and the pSp color code; y' from blended G1
+    with NO extra truncation."""
+    from vtoonify_tpu.models.psp_encoder import psp_encoder_apply
+    from vtoonify_tpu.ops.interp import avg_pool, resize_bilinear
+
+    ks = jax.random.split(key, 4)
+    wc = sample_content_w_batch(ks[0], base_params, gcfg, directions, batch)
+    xc = stylegan_image(base_params, gcfg, wc, ks[1])
+
+    if xc.shape[1] >= 256:
+        xc256 = avg_pool(xc, xc.shape[1] // 256)
+    else:
+        xc256 = resize_bilinear(xc, (256, 256))
+    xl_zp = psp_encoder_apply(psp_params, psp_cfg, xc256,
+                              latent_avg=latent_avg)
+    nb, nl, nd = xl_zp.shape
+    xl_w = G.style_mlp(base_params, gcfg, xl_zp.reshape(nb * nl, nd)).reshape(
+        nb, nl, nd
+    )
+    xl = jnp.concatenate([wc[:, 0:7] * 0.5, xl_w[:, 7:18]], axis=1)
+    xl = jax.lax.stop_gradient(xl)
+
+    gp = vt_params["generator"]
+    noise = G.make_noise(gp, gcfg, ks[2], randomize=True, batch=batch)
+    xs = jnp.clip(
+        G.generate(gp, gcfg, [xl], input_is_latent=True, noise=noise),
+        -1.0, 1.0,
+    )
+
+    imgs, _ = random_apply_affine(
+        jnp.concatenate([xc, xs], axis=-1), aug_p, key=ks[3],
+        max_pad=aug_max_pad,
+    )
+    real_input1024 = imgs[..., 0:3]
+    real_output = imgs[..., 3:6]
+    real_input512 = down(real_input1024)
+    real_input256 = down(real_input512)
+    mask512 = parsing_input(parsing_params, real_input512)
+    mask256 = down(mask512)
+    mask1024 = jnp.repeat(jnp.repeat(mask512, 2, axis=1), 2, axis=2)
+    real_input = jnp.concatenate(
+        [real_input256, mask256 * PARSING_WEIGHT], axis=-1
+    )
+    sg = jax.lax.stop_gradient
+    return {
+        "real_input": sg(real_input),
+        "real_input1024": sg(real_input1024),
+        "mask1024": sg(mask1024),
+        "real_output": sg(real_output),
+        "xl": xl,
+    }
