@@ -1,0 +1,293 @@
+"""VToonify-D trainer CLI — option-parity with reference
+train_vtoonify_d.py:31-75; two stages: --pretrain (encoder distillation,
+30k iters) then full training (2k iters).
+
+Replaces torch.distributed.launch with a jax.sharding Mesh: batch is sharded
+over all local devices ('dp'); multi-host works via jax.distributed.initialize
+(use --multihost).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+import numpy as np
+
+
+def build_parser():
+    p = argparse.ArgumentParser(description="Train VToonify-D (TPU-native)")
+    p.add_argument("--iter", type=int, default=2000)
+    p.add_argument("--batch", type=int, default=8,
+                   help="global batch size (sharded over the dp mesh axis)")
+    p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument("--start_iter", type=int, default=0)
+    p.add_argument("--save_every", type=int, default=30000)
+    p.add_argument("--save_begin", type=int, default=30000)
+    p.add_argument("--log_every", type=int, default=200)
+
+    p.add_argument("--adv_loss", type=float, default=0.01)
+    p.add_argument("--grec_loss", type=float, default=0.1)
+    p.add_argument("--perc_loss", type=float, default=0.01)
+    p.add_argument("--tmp_loss", type=float, default=1.0)
+    p.add_argument("--msk_loss", type=float, default=0.0005)
+
+    p.add_argument("--fix_degree", action="store_true")
+    p.add_argument("--fix_style", action="store_true")
+    p.add_argument("--fix_color", action="store_true")
+    p.add_argument("--exstyle_path", type=str,
+                   default="./checkpoint/cartoon/refined_exstyle_code.npy")
+    p.add_argument("--style_id", type=int, default=26)
+    p.add_argument("--style_degree", type=float, default=0.5)
+
+    p.add_argument("--encoder_path", type=str, default=None)
+    p.add_argument("--direction_path", type=str,
+                   default="./checkpoint/directions.npy")
+    p.add_argument("--stylegan_path", type=str,
+                   default="./checkpoint/cartoon/generator.pt")
+    p.add_argument("--faceparsing_path", type=str,
+                   default="./checkpoint/faceparsing.pth")
+    p.add_argument("--style_encoder_path", type=str,
+                   default="./checkpoint/encoder.pt")
+    p.add_argument("--vgg_path", type=str, default=None,
+                   help="torchvision vgg16 state_dict for LPIPS")
+    p.add_argument("--lpips_lin_path", type=str, default=None,
+                   help="LPIPS lin weights (defaults to the reference's "
+                        "in-repo weights if present)")
+
+    p.add_argument("--name", type=str, default="vtoonify_d_cartoon")
+    p.add_argument("--pretrain", action="store_true")
+    p.add_argument("--tp", type=int, default=1,
+                   help="tensor-parallel mesh width")
+    p.add_argument("--multihost", action="store_true")
+    p.add_argument("--seed", type=int, default=0)
+    return p
+
+
+def capability_suffix(args) -> str:
+    """reference train_vtoonify_d.py:193-200 / README.md:137-142."""
+    s = "_s"
+    if args.fix_style:
+        s += "%03d" % args.style_id
+    s += "_d"
+    if args.fix_degree:
+        s += "%1.1f" % args.style_degree
+    if not args.fix_color:
+        s += "_c"
+    return s
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    if args.encoder_path is None:
+        args.encoder_path = os.path.join("./checkpoint/", args.name,
+                                         "pretrain.ckpt")
+    print("Load options")
+    for k, v in sorted(vars(args).items()):
+        print(f"{k}: {v}")
+
+    if args.multihost:
+        import jax
+
+        jax.distributed.initialize()
+
+    import jax
+    import jax.numpy as jnp
+
+    from vtoonify_tpu.models.psp_encoder import PSPEncoderConfig
+    from vtoonify_tpu.models.vtoonify import (
+        CondDiscriminatorConfig,
+        VToonifyConfig,
+        init_cond_discriminator,
+        init_vtoonify,
+        zplus2wplus,
+    )
+    from vtoonify_tpu.models.lpips import convert_lpips, init_lpips
+    from vtoonify_tpu.parallel.mesh import (
+        make_mesh,
+        shard_array_batch,
+        shard_params,
+    )
+    from vtoonify_tpu.train.steps import (
+        TrainDConfig,
+        init_pretrain_state,
+        init_train_d_state,
+        pretrain_step,
+        split_trainable,
+        train_d_step,
+    )
+    from vtoonify_tpu.utils import checkpoint as ckpt_util
+
+    cfg = VToonifyConfig(backbone="dualstylegan")
+    key = jax.random.PRNGKey(args.seed)
+    kinit, key = jax.random.split(key)
+
+    # frozen backbone from the DualStyleGAN checkpoint; dilated ModRes copies
+    # share the original ModRes weights (train_vtoonify_d.py:419-424)
+    vt_params = init_vtoonify(kinit, cfg)
+    ds_params = ckpt_util.load_reference_dualstylegan(args.stylegan_path,
+                                                      cfg.dualstylegan)
+    vt_params["generator"] = ds_params
+    vt_params["res"] = [
+        jax.tree_util.tree_map(lambda a: a, ds_params["res"][j])
+        for j in range(7)
+    ]
+
+    parsing_params = ckpt_util.load_reference_faceparsing(args.faceparsing_path)
+    directions = jnp.asarray(ckpt_util.load_directions(args.direction_path))
+    bank, names = ckpt_util.load_exstyle_bank(args.exstyle_path)
+    styles = jnp.concatenate(
+        [
+            zplus2wplus(vt_params, cfg, jnp.asarray(bank[n], jnp.float32))
+            for n in names
+        ],
+        axis=0,
+    )
+
+    mesh = make_mesh(tp=args.tp)
+    n_dp = mesh.shape["dp"]
+    assert args.batch % n_dp == 0, "batch must divide dp mesh width"
+
+    os.makedirs(f"checkpoint/{args.name}", exist_ok=True)
+    rng = np.random.RandomState(args.seed)
+
+    if args.pretrain:
+        state = init_pretrain_state(vt_params, args.lr)
+        _, frozen = split_trainable(vt_params, pretrain=True)
+        frozen = shard_params(frozen, mesh, tp=args.tp > 1)
+        parsing_sh = shard_params(parsing_params, mesh)
+        step_fn = jax.jit(pretrain_step, static_argnames=("cfg", "lr"))
+        t0 = time.time()
+        for idx in range(args.start_iter, args.iter):
+            # d_s schedule (train_vtoonify_d.py:108-112)
+            if args.fix_degree:
+                d_s = args.style_degree
+            else:
+                d_s = 0.0 if idx <= args.iter / 4.0 else float(rng.rand())
+            if args.fix_style:
+                sel = np.full((args.batch,), args.style_id)
+            else:
+                sel = rng.randint(0, styles.shape[0], (args.batch,))
+            style = shard_array_batch(styles[jnp.asarray(sel)], mesh)
+            key, sub = jax.random.split(key)
+            state, metrics = step_fn(
+                state, frozen, parsing_sh, cfg, directions, style,
+                jnp.asarray(d_s, jnp.float32), sub, lr=args.lr,
+            )
+            if (idx + 1) % max(args.log_every // 10, 1) == 0:
+                print(
+                    f"iter {idx}: emse {float(metrics['emse']):.4f} "
+                    f"({(time.time() - t0) / (idx - args.start_iter + 1):.2f}"
+                    " s/it)",
+                    flush=True,
+                )
+            if ((idx + 1) >= args.save_begin
+                    and (idx + 1) % args.save_every == 0) or (
+                    idx + 1) == args.iter:
+                name = ("pretrain.ckpt" if (idx + 1) == args.iter
+                        else f"pretrain-{idx + 1:05d}.ckpt")
+                ckpt_util.save_pytree(
+                    f"checkpoint/{args.name}/{name}",
+                    {"g_ema": {"encoder": state.ema_encoder}},
+                )
+        return
+
+    # ---- full training ------------------------------------------------------
+    pre = ckpt_util.load_pytree(args.encoder_path)
+    vt_params["encoder"] = pre["g_ema"]["encoder"]
+    # fusion identity init (train_vtoonify_d.py:433-438)
+    for fo in vt_params["fusion_out"]:
+        w = fo["conv"]["weight"]
+        c = w.shape[-1]
+        eye = jnp.eye(c)
+        fo["conv"]["weight"] = (w * 0.01).at[1, 1, 0:c, :].add(eye)
+    for i, fs in enumerate(vt_params["fusion_skip"]):
+        w = fs["weight"]
+        c = w.shape[-1]
+        fs["weight"] = (w * 0.01).at[1, 1, 0:c, :].add(jnp.eye(c))
+
+    psp_params, latent_avg = ckpt_util.load_reference_psp(
+        args.style_encoder_path
+    )
+    psp_cfg = PSPEncoderConfig()
+
+    if args.vgg_path:
+        import torch
+
+        vgg_sd = {k: v.numpy() for k, v in torch.load(
+            args.vgg_path, map_location="cpu").items()}
+        lin_path = args.lpips_lin_path or (
+            "/root/reference/model/stylegan/lpips/weights/v0.1/vgg.pth"
+        )
+        lin_sd = {k: v.numpy() for k, v in torch.load(
+            lin_path, map_location="cpu").items()}
+        lpips_params = convert_lpips(vgg_sd, lin_sd)
+    else:
+        print("WARNING: no --vgg_path; LPIPS uses random weights")
+        lpips_params = init_lpips(jax.random.PRNGKey(1))
+
+    dcfg = CondDiscriminatorConfig(size=256, use_condition=True,
+                                   style_num=styles.shape[0])
+    key, kd = jax.random.split(key)
+    d_params = init_cond_discriminator(kd, dcfg)
+    tcfg = TrainDConfig(
+        adv_loss=args.adv_loss, grec_loss=args.grec_loss,
+        perc_loss=args.perc_loss, tmp_loss=args.tmp_loss,
+        msk_loss=args.msk_loss, lr=args.lr,
+    )
+
+    _, frozen = split_trainable(vt_params, pretrain=False)
+    state = init_train_d_state(vt_params, d_params, args.batch, cfg, tcfg)
+    state = state._replace(
+        trainable=shard_params(state.trainable, mesh, tp=args.tp > 1),
+        d_params=shard_params(state.d_params, mesh, tp=args.tp > 1),
+    )
+    frozen = shard_params(frozen, mesh, tp=args.tp > 1)
+    parsing_sh = shard_params(parsing_params, mesh)
+
+    step_fn = jax.jit(train_d_step,
+                      static_argnames=("cfg", "dcfg", "tcfg", "psp_cfg"))
+    suffix = capability_suffix(args)
+    t0 = time.time()
+    for idx in range(args.start_iter, args.iter):
+        if args.fix_degree or idx == 0:
+            d_s = args.style_degree
+        else:
+            d_s = rng.randint(0, 6) / 5.0
+        weights = tuple([d_s] * 7 + ([0.0] if args.fix_color else [1.0]) * 11)
+        if args.fix_style or idx == 0:
+            sel = np.full((args.batch,), args.style_id)
+        else:
+            sel = rng.randint(0, styles.shape[0], (args.batch,))
+        style = styles[jnp.asarray(sel)]
+        xl_override = style if (not args.fix_color and args.fix_style) else None
+        use_jitter = (idx > 0 and idx >= args.iter / 2.0
+                      and not args.fix_color and not args.fix_style)
+        key, sub = jax.random.split(key)
+        state, metrics = step_fn(
+            state, frozen, parsing_sh, psp_params, psp_cfg, latent_avg,
+            lpips_params, cfg, dcfg, tcfg, directions,
+            shard_array_batch(style, mesh),
+            shard_array_batch(jnp.asarray(sel), mesh),
+            jnp.asarray(d_s, jnp.float32), weights,
+            jnp.asarray(max(idx / (args.iter / 2.0) - 1, 0), jnp.float32),
+            jnp.asarray(idx / (args.iter / 2.0), jnp.float32),
+            jnp.asarray(use_jitter), sub, xl_override=xl_override,
+        )
+        if (idx + 1) % max(args.log_every // 10, 1) == 0:
+            m = {k: f"{float(v):.4f}" for k, v in metrics.items()}
+            print(f"iter {idx}: {m} "
+                  f"({(time.time() - t0) / (idx - args.start_iter + 1):.2f}"
+                  " s/it)", flush=True)
+        if ((idx + 1) >= args.save_begin
+                and (idx + 1) % args.save_every == 0) or (idx + 1) == args.iter:
+            name = (f"vtoonify{suffix}.ckpt" if (idx + 1) == args.iter
+                    else f"vtoonify{suffix}_{idx + 1:05d}.ckpt")
+            ckpt_util.save_pytree(
+                f"checkpoint/{args.name}/{name}", {"g_ema": state.ema}
+            )
+
+
+if __name__ == "__main__":
+    main()

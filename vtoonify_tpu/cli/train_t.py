@@ -1,0 +1,225 @@
+"""VToonify-T trainer CLI — option-parity with reference
+train_vtoonify_t.py:37-75: layer-wise model blending of the FFHQ base and a
+style-finetuned StyleGAN builds the frozen G1, then encoder distillation
+(--pretrain) and full training with an unconditional discriminator.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+import numpy as np
+
+# per-style blend-weight recipes (reference train_vtoonify_t.py:30-35)
+STYLE_BLEND_WEIGHTS = {
+    "cartoon": [0.75] * 7 + [1] * 11,
+    "caricature": [0.75] * 7 + [1] * 11,
+    "arcane": [0.75] * 7 + [1] * 11,
+    "comic": [1] * 7 + [1] * 11,
+    "pixar": [1] * 7 + [1] * 11,
+    "illustration": [0.5] * 7 + [1] * 11,
+}
+
+
+def build_parser():
+    p = argparse.ArgumentParser(description="Train VToonify-T (TPU-native)")
+    p.add_argument("--iter", type=int, default=2000)
+    p.add_argument("--batch", type=int, default=8)
+    p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument("--start_iter", type=int, default=0)
+    p.add_argument("--save_every", type=int, default=30000)
+    p.add_argument("--save_begin", type=int, default=30000)
+    p.add_argument("--log_every", type=int, default=200)
+
+    p.add_argument("--adv_loss", type=float, default=0.01)
+    p.add_argument("--grec_loss", type=float, default=0.1)
+    p.add_argument("--perc_loss", type=float, default=0.01)
+    p.add_argument("--tmp_loss", type=float, default=1.0)
+
+    p.add_argument("--encoder_path", type=str, default=None)
+    p.add_argument("--direction_path", type=str,
+                   default="./checkpoint/directions.npy")
+    p.add_argument("--stylegan_path", type=str,
+                   default="./checkpoint/stylegan2-ffhq-config-f.pt",
+                   help="FFHQ base StyleGAN (G0)")
+    p.add_argument("--finetunegan_path", type=str,
+                   default="./checkpoint/cartoon/finetune-000600.pt",
+                   help="style-finetuned StyleGAN")
+    p.add_argument("--weight", type=float, nargs=18,
+                   default=[1] * 7 + [0] * 11,
+                   help="18 layer-wise blending weights")
+    p.add_argument("--faceparsing_path", type=str,
+                   default="./checkpoint/faceparsing.pth")
+    p.add_argument("--style_encoder_path", type=str,
+                   default="./checkpoint/encoder.pt")
+    p.add_argument("--vgg_path", type=str, default=None)
+    p.add_argument("--lpips_lin_path", type=str, default=None)
+
+    p.add_argument("--name", type=str, default="vtoonify_t_cartoon")
+    p.add_argument("--pretrain", action="store_true")
+    p.add_argument("--tp", type=int, default=1)
+    p.add_argument("--multihost", action="store_true")
+    p.add_argument("--seed", type=int, default=0)
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    if args.encoder_path is None:
+        args.encoder_path = os.path.join("./checkpoint/", args.name,
+                                         "pretrain.ckpt")
+    print("Load options")
+    for k, v in sorted(vars(args).items()):
+        print(f"{k}: {v}")
+
+    if args.multihost:
+        import jax
+
+        jax.distributed.initialize()
+
+    import jax
+    import jax.numpy as jnp
+
+    from vtoonify_tpu.models.psp_encoder import PSPEncoderConfig
+    from vtoonify_tpu.models.vtoonify import (
+        CondDiscriminatorConfig,
+        VToonifyConfig,
+        init_cond_discriminator,
+        init_vtoonify,
+    )
+    from vtoonify_tpu.models.lpips import convert_lpips, init_lpips
+    from vtoonify_tpu.parallel.mesh import make_mesh, shard_params
+    from vtoonify_tpu.train.steps import (
+        TrainDConfig,
+        init_pretrain_state,
+        init_train_t_state,
+        pretrain_t_step,
+        split_trainable,
+        train_t_step,
+    )
+    from vtoonify_tpu.utils import checkpoint as ckpt_util
+    from vtoonify_tpu.utils.blend import blend_generators
+
+    cfg = VToonifyConfig(backbone="toonify")
+    key = jax.random.PRNGKey(args.seed)
+    kinit, key = jax.random.split(key)
+
+    vt_params = init_vtoonify(kinit, cfg)
+    base_params = ckpt_util.load_reference_stylegan(args.stylegan_path,
+                                                    cfg.generator)
+    finetune_params = ckpt_util.load_reference_stylegan(args.finetunegan_path,
+                                                        cfg.generator)
+    # G1 = blend(finetune as low, base as high) (train_vtoonify_t.py:348-354)
+    vt_params["generator"] = blend_generators(finetune_params, base_params,
+                                              args.weight)
+
+    parsing_params = ckpt_util.load_reference_faceparsing(args.faceparsing_path)
+    directions = jnp.asarray(ckpt_util.load_directions(args.direction_path))
+
+    mesh = make_mesh(tp=args.tp)
+    os.makedirs(f"checkpoint/{args.name}", exist_ok=True)
+
+    if args.pretrain:
+        state = init_pretrain_state(vt_params, args.lr)
+        _, frozen = split_trainable(vt_params, pretrain=True)
+        frozen = shard_params(frozen, mesh, tp=args.tp > 1)
+        base_sh = shard_params(base_params, mesh, tp=args.tp > 1)
+        parsing_sh = shard_params(parsing_params, mesh)
+        step_fn = jax.jit(pretrain_t_step,
+                          static_argnames=("cfg", "batch", "lr"))
+        t0 = time.time()
+        for idx in range(args.start_iter, args.iter):
+            key, sub = jax.random.split(key)
+            state, metrics = step_fn(state, frozen, base_sh, parsing_sh, cfg,
+                                     directions, args.batch, sub, lr=args.lr)
+            if (idx + 1) % max(args.log_every // 10, 1) == 0:
+                print(f"iter {idx}: emse {float(metrics['emse']):.4f}",
+                      flush=True)
+            if ((idx + 1) >= args.save_begin
+                    and (idx + 1) % args.save_every == 0) or (
+                    idx + 1) == args.iter:
+                name = ("pretrain.ckpt" if (idx + 1) == args.iter
+                        else f"pretrain-{idx + 1:05d}.ckpt")
+                ckpt_util.save_pytree(
+                    f"checkpoint/{args.name}/{name}",
+                    {"g_ema": {"encoder": state.ema_encoder}},
+                )
+        return
+
+    pre = ckpt_util.load_pytree(args.encoder_path)
+    vt_params["encoder"] = pre["g_ema"]["encoder"]
+    # fusion identity init — T's fusion modules are plain convs
+    # (train_vtoonify_t.py:362-368)
+    for fo in vt_params["fusion_out"]:
+        w = fo["weight"]
+        c = w.shape[-1]
+        fo["weight"] = (w * 0.01).at[1, 1, 0:c, :].add(jnp.eye(c))
+    for fs in vt_params["fusion_skip"]:
+        w = fs["weight"]
+        c = w.shape[-1]
+        fs["weight"] = (w * 0.01).at[1, 1, 0:c, :].add(jnp.eye(c))
+
+    psp_params, latent_avg = ckpt_util.load_reference_psp(
+        args.style_encoder_path
+    )
+    psp_cfg = PSPEncoderConfig()
+
+    if args.vgg_path:
+        import torch
+
+        vgg_sd = {k: v.numpy() for k, v in torch.load(
+            args.vgg_path, map_location="cpu").items()}
+        lin_path = args.lpips_lin_path or (
+            "/root/reference/model/stylegan/lpips/weights/v0.1/vgg.pth"
+        )
+        lin_sd = {k: v.numpy() for k, v in torch.load(
+            lin_path, map_location="cpu").items()}
+        lpips_params = convert_lpips(vgg_sd, lin_sd)
+    else:
+        print("WARNING: no --vgg_path; LPIPS uses random weights")
+        lpips_params = init_lpips(jax.random.PRNGKey(1))
+
+    dcfg = CondDiscriminatorConfig(size=256, use_condition=False)
+    key, kd = jax.random.split(key)
+    d_params = init_cond_discriminator(kd, dcfg)
+    tcfg = TrainDConfig(adv_loss=args.adv_loss, grec_loss=args.grec_loss,
+                        perc_loss=args.perc_loss, tmp_loss=args.tmp_loss,
+                        lr=args.lr)
+
+    _, frozen = split_trainable(vt_params, pretrain=False)
+    state = init_train_t_state(vt_params, d_params, tcfg)
+    state = state._replace(
+        trainable=shard_params(state.trainable, mesh, tp=args.tp > 1),
+        d_params=shard_params(state.d_params, mesh, tp=args.tp > 1),
+    )
+    frozen = shard_params(frozen, mesh, tp=args.tp > 1)
+    base_sh = shard_params(base_params, mesh, tp=args.tp > 1)
+    parsing_sh = shard_params(parsing_params, mesh)
+
+    step_fn = jax.jit(train_t_step,
+                      static_argnames=("cfg", "dcfg", "tcfg", "psp_cfg",
+                                       "batch"))
+    t0 = time.time()
+    for idx in range(args.start_iter, args.iter):
+        key, sub = jax.random.split(key)
+        state, metrics = step_fn(
+            state, frozen, base_sh, parsing_sh, psp_params, psp_cfg,
+            latent_avg, lpips_params, cfg, dcfg, tcfg, directions, args.batch,
+            jnp.asarray(max(idx / (args.iter / 2.0) - 1, 0), jnp.float32),
+            sub,
+        )
+        if (idx + 1) % max(args.log_every // 10, 1) == 0:
+            m = {k: f"{float(v):.4f}" for k, v in metrics.items()}
+            print(f"iter {idx}: {m}", flush=True)
+        if ((idx + 1) >= args.save_begin
+                and (idx + 1) % args.save_every == 0) or (idx + 1) == args.iter:
+            name = ("vtoonify.ckpt" if (idx + 1) == args.iter
+                    else f"vtoonify_{idx + 1:05d}.ckpt")
+            ckpt_util.save_pytree(f"checkpoint/{args.name}/{name}",
+                                  {"g_ema": state.ema})
+
+
+if __name__ == "__main__":
+    main()
