@@ -1,0 +1,334 @@
+"""RAFT optical flow (basic variant) — TPU-native functional rebuild.
+
+Capability-parity with reference model/raft/core/{raft,extractor,update,
+corr}.py: feature/context encoders, 4-level all-pairs correlation pyramid,
+SepConvGRU iterative updates, convex-upsampling mask. Used by the
+parsing-map smoother (reference smooth_parsing_map.py). Inputs are uint8-range
+[0,255] images (raft.py:89-90).
+
+TPU-first notes: the correlation volume is ONE batched matmul (MXU) +
+avg-pool pyramid + bilinear gathers — the reference's optional alt_cuda_corr
+kernel (memory-saving lookup) is unnecessary at the 1/8-resolution sizes this
+framework uses (SURVEY.md §2.1). The update loop is a statically unrolled
+`iters`-step recurrence (no data-dependent control flow).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+
+from vtoonify_tpu.nn import layers as L
+from vtoonify_tpu.ops.interp import avg_pool, grid_sample, resize_bilinear
+
+
+@dataclass(frozen=True)
+class RAFTConfig:
+    hidden_dim: int = 128
+    context_dim: int = 128
+    corr_levels: int = 4
+    corr_radius: int = 4
+
+
+# --- encoders (extractor.py BasicEncoder) -----------------------------------
+
+
+def _init_res_block(key, in_planes, planes, stride):
+    ks = jax.random.split(key, 3)
+    p = {
+        "conv1": L.init_conv2d_torch(ks[0], in_planes, planes, 3),
+        "conv2": L.init_conv2d_torch(ks[1], planes, planes, 3),
+    }
+    if stride != 1:
+        p["down"] = L.init_conv2d_torch(ks[2], in_planes, planes, 1)
+    return p
+
+
+def _norm(x, kind, p=None):
+    if kind == "instance":
+        return L.instance_norm_2d(x)
+    if kind == "batch":
+        return L.batch_norm_2d(p, x)
+    return x
+
+
+def _res_block(p, x, stride, norm_fn, norms):
+    y = jax.nn.relu(_norm(L.conv2d_torch(p["conv1"], x, stride=stride,
+                                         padding=1), norm_fn,
+                          norms.get("norm1") if norms else None))
+    y = jax.nn.relu(_norm(L.conv2d_torch(p["conv2"], y, padding=1), norm_fn,
+                          norms.get("norm2") if norms else None))
+    if "down" in p:
+        x = _norm(L.conv2d_torch(p["down"], x, stride=stride), norm_fn,
+                  norms.get("norm3") if norms else None)
+    return jax.nn.relu(x + y)
+
+
+def init_basic_encoder(key, output_dim, norm_fn):
+    ks = jax.random.split(key, 10)
+    p = {
+        "conv1": L.init_conv2d_torch(ks[0], 3, 64, 7),
+        "layers": [],
+        "conv2": L.init_conv2d_torch(ks[7], 128, output_dim, 1),
+    }
+    dims = [(64, 64, 1), (64, 96, 2), (96, 128, 2)]
+    for i, (cin, cout, stride) in enumerate(dims):
+        p["layers"].append([
+            _init_res_block(ks[1 + 2 * i], cin, cout, stride),
+            _init_res_block(ks[2 + 2 * i], cout, cout, 1),
+        ])
+    if norm_fn == "batch":
+        p["bn1"] = L.init_batch_norm_2d(64)
+        for li, (cin, cout, stride) in enumerate(dims):
+            for bi, s in ((0, stride), (1, 1)):
+                norms = {
+                    "norm1": L.init_batch_norm_2d(cout),
+                    "norm2": L.init_batch_norm_2d(cout),
+                }
+                if s != 1:
+                    norms["norm3"] = L.init_batch_norm_2d(cout)
+                p["layers"][li][bi]["norms"] = norms
+    return p
+
+
+def basic_encoder_apply(p, x, norm_fn):
+    h = L.conv2d_torch(p["conv1"], x, stride=2, padding=3)
+    h = _norm(h, norm_fn, p.get("bn1"))
+    h = jax.nn.relu(h)
+    strides = [1, 2, 2]
+    for li, layer in enumerate(p["layers"]):
+        for bi, blk in enumerate(layer):
+            s = strides[li] if bi == 0 else 1
+            h = _res_block(blk, h, s, norm_fn, blk.get("norms"))
+    return L.conv2d_torch(p["conv2"], h)
+
+
+# --- correlation pyramid (corr.py CorrBlock) --------------------------------
+
+
+def build_corr_pyramid(fmap1, fmap2, num_levels=4):
+    """All-pairs correlation: (B, H1, W1, H2, W2) then avg-pool pyramid over
+    the (H2, W2) axes. fmaps are (B, H, W, C)."""
+    b, h, w, c = fmap1.shape
+    f1 = fmap1.reshape(b, h * w, c)
+    f2 = fmap2.reshape(b, h * w, c)
+    corr = jnp.einsum("bnc,bmc->bnm", f1, f2,
+                      preferred_element_type=jnp.float32)
+    corr = corr / jnp.sqrt(jnp.asarray(c, jnp.float32))
+    corr = corr.reshape(b * h * w, h, w, 1)
+    pyramid = [corr]
+    for _ in range(num_levels - 1):
+        corr = avg_pool(corr, 2)
+        pyramid.append(corr)
+    return pyramid
+
+
+def lookup_corr(pyramid, coords, radius=4):
+    """coords: (B, H, W, 2) pixel positions in image2. Returns
+    (B, H, W, levels*(2r+1)^2) — reference corr.py:29-50."""
+    b, h, w, _ = coords.shape
+    r = radius
+    d = jnp.arange(-r, r + 1, dtype=jnp.float32)
+    # NOTE: the reference builds delta = stack(meshgrid(dy, dx)) and adds it
+    # to (x, y)-ordered coords (corr.py:36-41) — i.e. the x offset varies
+    # along the FIRST window axis. Mirrored exactly for checkpoint parity.
+    dyg, dxg = jnp.meshgrid(d, d, indexing="ij")
+    delta = jnp.stack([dyg, dxg], axis=-1)
+
+    out = []
+    for i, corr in enumerate(pyramid):
+        centroid = coords.reshape(b * h * w, 1, 1, 2) / (2 ** i)
+        coords_lvl = centroid + delta[None]
+        hl, wl = corr.shape[1], corr.shape[2]
+        # bilinear_sampler: pixel coords → [-1,1] with align_corners=True.
+        # A degenerate 1-pixel axis (tiny inputs) collapses to coordinate 0
+        # (the reference divides by zero there, corr.py utils bilinear_sampler).
+        gx = (2 * coords_lvl[..., 0] / (wl - 1) - 1) if wl > 1 else (
+            jnp.zeros_like(coords_lvl[..., 0])
+        )
+        gy = (2 * coords_lvl[..., 1] / (hl - 1) - 1) if hl > 1 else (
+            jnp.zeros_like(coords_lvl[..., 1])
+        )
+        grid = jnp.stack([gx, gy], axis=-1)
+        sampled = grid_sample(corr, grid, align_corners=True,
+                              padding_mode="zeros")
+        out.append(sampled.reshape(b, h, w, -1))
+    return jnp.concatenate(out, axis=-1)
+
+
+# --- update block (update.py) ------------------------------------------------
+
+
+def init_update_block(key, cfg: RAFTConfig):
+    ks = jax.random.split(key, 16)
+    cor_planes = cfg.corr_levels * (2 * cfg.corr_radius + 1) ** 2
+    hd = cfg.hidden_dim
+    return {
+        "enc": {
+            "convc1": L.init_conv2d_torch(ks[0], cor_planes, 256, 1),
+            "convc2": L.init_conv2d_torch(ks[1], 256, 192, 3),
+            "convf1": L.init_conv2d_torch(ks[2], 2, 128, 7),
+            "convf2": L.init_conv2d_torch(ks[3], 128, 64, 3),
+            "conv": L.init_conv2d_torch(ks[4], 64 + 192, 128 - 2, 3),
+        },
+        "gru": {
+            name: _init_conv_rect(
+                ks[5 + i], hd + 128 + hd, hd,
+                (1, 5) if name.endswith("1") else (5, 1),
+            )
+            for i, name in enumerate(
+                ("convz1", "convr1", "convq1", "convz2", "convr2", "convq2")
+            )
+        },
+        "flow_head": {
+            "conv1": L.init_conv2d_torch(ks[11], hd, 256, 3),
+            "conv2": L.init_conv2d_torch(ks[12], 256, 2, 3),
+        },
+        "mask": {
+            "conv1": L.init_conv2d_torch(ks[13], 128, 256, 3),
+            "conv2": L.init_conv2d_torch(ks[14], 256, 64 * 9, 1),
+        },
+    }
+
+
+def _init_conv_rect(key, in_ch, out_ch, khw):
+    import math as _math
+
+    kh, kw = khw
+    k1, k2 = jax.random.split(key)
+    fan_in = in_ch * kh * kw
+    bound = _math.sqrt(6.0 / ((1 + 5.0) * fan_in))
+    b = 1.0 / _math.sqrt(fan_in)
+    return {
+        "weight": jax.random.uniform(k1, (kh, kw, in_ch, out_ch), jnp.float32,
+                                     -bound, bound),
+        "bias": jax.random.uniform(k2, (out_ch,), jnp.float32, -b, b),
+    }
+
+
+def _sep_conv(p, x, horizontal: bool):
+    """(1,5)/(5,1) GRU convs with same-padding."""
+    from vtoonify_tpu.ops.convs import conv2d
+
+    w = p["weight"]
+    pad = ((0, 0), (2, 2)) if w.shape[0] == 1 else ((2, 2), (0, 0))
+    out = conv2d(x, w.astype(x.dtype), padding=pad)
+    return out + p["bias"].astype(out.dtype)
+
+
+def sep_conv_gru(p, h, x):
+    """SepConvGRU (update.py:33-60)."""
+    hx = jnp.concatenate([h, x], axis=-1)
+    z = jax.nn.sigmoid(_sep_conv(p["convz1"], hx, True))
+    r = jax.nn.sigmoid(_sep_conv(p["convr1"], hx, True))
+    q = jnp.tanh(_sep_conv(p["convq1"],
+                           jnp.concatenate([r * h, x], axis=-1), True))
+    h = (1 - z) * h + z * q
+
+    hx = jnp.concatenate([h, x], axis=-1)
+    z = jax.nn.sigmoid(_sep_conv(p["convz2"], hx, False))
+    r = jax.nn.sigmoid(_sep_conv(p["convr2"], hx, False))
+    q = jnp.tanh(_sep_conv(p["convq2"],
+                           jnp.concatenate([r * h, x], axis=-1), False))
+    return (1 - z) * h + z * q
+
+
+def update_block_apply(p, net, inp, corr, flow):
+    e = p["enc"]
+    cor = jax.nn.relu(L.conv2d_torch(e["convc1"], corr))
+    cor = jax.nn.relu(L.conv2d_torch(e["convc2"], cor, padding=1))
+    flo = jax.nn.relu(L.conv2d_torch(e["convf1"], flow, padding=3))
+    flo = jax.nn.relu(L.conv2d_torch(e["convf2"], flo, padding=1))
+    out = jax.nn.relu(
+        L.conv2d_torch(e["conv"], jnp.concatenate([cor, flo], axis=-1),
+                       padding=1)
+    )
+    motion = jnp.concatenate([out, flow], axis=-1)
+
+    net = sep_conv_gru(p["gru"], net, jnp.concatenate([inp, motion], axis=-1))
+    fh = p["flow_head"]
+    delta = L.conv2d_torch(
+        fh["conv2"],
+        jax.nn.relu(L.conv2d_torch(fh["conv1"], net, padding=1)),
+        padding=1,
+    )
+    m = p["mask"]
+    mask = 0.25 * L.conv2d_torch(
+        m["conv2"], jax.nn.relu(L.conv2d_torch(m["conv1"], net, padding=1))
+    )
+    return net, mask, delta
+
+
+# --- full model ---------------------------------------------------------------
+
+
+def init_raft(key, cfg: RAFTConfig = RAFTConfig()):
+    k1, k2, k3 = jax.random.split(key, 3)
+    return {
+        "fnet": init_basic_encoder(k1, 256, "instance"),
+        "cnet": init_basic_encoder(k2, cfg.hidden_dim + cfg.context_dim,
+                                   "batch"),
+        "update": init_update_block(k3, cfg),
+    }
+
+
+def _coords_grid(b, h, w):
+    ys, xs = jnp.meshgrid(jnp.arange(h, dtype=jnp.float32),
+                          jnp.arange(w, dtype=jnp.float32), indexing="ij")
+    return jnp.broadcast_to(jnp.stack([xs, ys], axis=-1)[None], (b, h, w, 2))
+
+
+def upsample_flow_convex(flow, mask):
+    """Convex-combination 8× upsampling (raft.py:72-83). flow (B,h,w,2)."""
+    b, h, w, _ = flow.shape
+    mask = mask.reshape(b, h, w, 9, 8, 8)
+    mask = jax.nn.softmax(mask, axis=3)
+
+    # 3×3 neighborhood of 8*flow with zero padding (F.unfold semantics)
+    fp = jnp.pad(8 * flow, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    neigh = jnp.stack(
+        [
+            fp[:, dy:dy + h, dx:dx + w, :]
+            for dy in range(3)
+            for dx in range(3)
+        ],
+        axis=3,
+    )  # (B, h, w, 9, 2)
+    up = jnp.einsum("bhwkyx,bhwkc->bhwyxc", mask, neigh)
+    return up.transpose(0, 1, 3, 2, 4, 5).reshape(b, 8 * h, 8 * w, 2)
+
+
+def raft_apply(params, image1, image2, cfg: RAFTConfig = RAFTConfig(),
+               iters: int = 12, test_mode: bool = True):
+    """image1/image2: (B, H, W, 3) in [0, 255]. Returns (flow_lr, flow_up) in
+    test mode, else the list of per-iteration upsampled flows."""
+    x1 = 2 * (image1 / 255.0) - 1.0
+    x2 = 2 * (image2 / 255.0) - 1.0
+
+    fmap1 = basic_encoder_apply(params["fnet"], x1, "instance")
+    fmap2 = basic_encoder_apply(params["fnet"], x2, "instance")
+    pyramid = build_corr_pyramid(fmap1, fmap2, cfg.corr_levels)
+
+    cnet = basic_encoder_apply(params["cnet"], x1, "batch")
+    net = jnp.tanh(cnet[..., : cfg.hidden_dim])
+    inp = jax.nn.relu(cnet[..., cfg.hidden_dim:])
+
+    b, h, w, _ = fmap1.shape
+    coords0 = _coords_grid(b, h, w)
+    coords1 = _coords_grid(b, h, w)
+
+    flows_up = []
+    for _ in range(iters):
+        corr = lookup_corr(pyramid, coords1, cfg.corr_radius)
+        flow = coords1 - coords0
+        net, up_mask, delta = update_block_apply(params["update"], net, inp,
+                                                 corr, flow)
+        coords1 = coords1 + delta
+        flow_up = upsample_flow_convex(coords1 - coords0, up_mask)
+        flows_up.append(flow_up)
+
+    if test_mode:
+        return coords1 - coords0, flows_up[-1]
+    return flows_up
