@@ -1,0 +1,51 @@
+"""Profiling / tracing utilities (SURVEY.md §5.1 gap-fill — the reference has
+none; tqdm only). Wraps jax.profiler for device traces plus lightweight
+per-stage wall timers for the video pipeline."""
+
+from __future__ import annotations
+
+import contextlib
+import time
+from collections import defaultdict
+
+import jax
+
+
+@contextlib.contextmanager
+def device_trace(logdir: str = "/tmp/jax-trace"):
+    """Capture an XLA device trace viewable in TensorBoard/Perfetto."""
+    jax.profiler.start_trace(logdir)
+    try:
+        yield logdir
+    finally:
+        jax.profiler.stop_trace()
+
+
+def annotate(name: str):
+    """Named region that shows up in device traces."""
+    return jax.profiler.TraceAnnotation(name)
+
+
+class StageTimer:
+    """Accumulating wall-clock stage timer for host-side pipeline phases
+    (decode / preprocess / device / encode)."""
+
+    def __init__(self):
+        self.totals = defaultdict(float)
+        self.counts = defaultdict(int)
+
+    @contextlib.contextmanager
+    def stage(self, name: str):
+        t0 = time.perf_counter()
+        try:
+            yield
+        finally:
+            self.totals[name] += time.perf_counter() - t0
+            self.counts[name] += 1
+
+    def summary(self) -> dict:
+        return {
+            k: {"total_s": self.totals[k], "count": self.counts[k],
+                "mean_ms": 1000 * self.totals[k] / max(self.counts[k], 1)}
+            for k in self.totals
+        }
