@@ -157,9 +157,59 @@ def init_modulated_conv2d(key, in_ch, out_ch, ksize, style_dim):
     }
 
 
+def _compose_upsample_kernel(w_scaled, blur_kernel):
+    """Fold the ×2-upsample blur into the transposed-conv kernel.
+
+    The reference chain conv_transpose(stride 2, k=3) → Blur (4-tap, ×4 gain)
+    is linear, so it equals ONE 6-tap kernel applied to the zero-stuffed
+    input: c = conv_full(flip(W), 4·blur2d). Returns c (6, 6, cin, cout).
+    """
+    kh, kw, cin, cout = w_scaled.shape
+    g = jnp.flip(w_scaled, axis=(0, 1))
+    bk1 = make_kernel(blur_kernel).astype(w_scaled.dtype)
+    bk = jnp.outer(bk1, bk1) * 4.0
+    kt = bk.shape[0]
+    gi = jnp.transpose(g, (2, 3, 0, 1)).reshape(cin * cout, kh, kw, 1)
+    # full convolution: correlate with flipped bk (bk is symmetric anyway)
+    c = lax.conv_general_dilated(
+        gi, jnp.flip(bk, (0, 1))[:, :, None, None],
+        (1, 1), ((kt - 1, kt - 1), (kt - 1, kt - 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    ch, cw = kh + kt - 1, kw + kt - 1
+    return jnp.transpose(c.reshape(cin, cout, ch, cw), (2, 3, 0, 1))
+
+
+def _fused_upsample_conv(x, w_scaled, blur_kernel):
+    """Phase-decomposed fused upsample conv (TPU-first replacement for the
+    dilated transposed conv + separate blur).
+
+    XLA executes a stride-2 lhs-dilated conv densely (75 % multiply-by-zero)
+    and at 2× resolution; decomposing the 6-tap combined kernel into four
+    3-tap polyphase kernels computes only the useful FLOPs at INPUT
+    resolution with 4× the output channels — much better MXU lane
+    utilization for the wide-resolution/narrow-channel tail. Numerically
+    identical to the reference chain (pure linear algebra).
+    """
+    c = _compose_upsample_kernel(w_scaled, blur_kernel)
+    # y[2u+a, 2v+b] = Σ_{d∈[-1,1]²} x[u+dy, v+dx] · c[2dy+3-2a?…]: even output
+    # parity uses taps c[1::2], odd uses c[0::2] (see derivation in commit).
+    phases = [
+        c[1::2, 1::2], c[1::2, 0::2], c[0::2, 1::2], c[0::2, 0::2]
+    ]  # (a,b) = (0,0),(0,1),(1,0),(1,1)
+    cin, cout = c.shape[2], c.shape[3]
+    k_cat = jnp.concatenate(phases, axis=-1)  # (3, 3, cin, 4*cout)
+    yp = conv2d(x, k_cat.astype(x.dtype), padding=1)  # (B, H, W, 4*cout)
+    b, h, w_, _ = yp.shape
+    yp = yp.reshape(b, h, w_, 2, 2, cout)
+    return jnp.transpose(yp, (0, 1, 3, 2, 4, 5)).reshape(
+        b, 2 * h, 2 * w_, cout
+    )
+
+
 def modulated_conv2d(p, x, style, demodulate=True, upsample=False,
                      downsample=False, blur_kernel: Sequence[float] = BLUR_KERNEL,
-                     eps: float = 1e-8):
+                     eps: float = 1e-8, fuse_upsample: bool = True):
     """reference model.py:170-306, scale-activations formulation (see module
     docstring for the equivalence argument)."""
     w = p["weight"]
@@ -180,7 +230,9 @@ def modulated_conv2d(p, x, style, demodulate=True, upsample=False,
     x = x * s[:, None, None, :].astype(x.dtype)
     wsc = (w * scale).astype(x.dtype)
 
-    if upsample:
+    if upsample and fuse_upsample and kh == 3 and len(blur_kernel) == 4:
+        out = _fused_upsample_conv(x, wsc, blur_kernel)
+    elif upsample:
         out = conv_transpose2d(x, jnp.swapaxes(wsc, 2, 3), stride=2, padding=0)
         kt = len(blur_kernel)
         pd = (kt - 2) - (kh - 1)
