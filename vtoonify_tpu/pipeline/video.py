@@ -28,8 +28,10 @@ class VideoResult:
 
 
 def iterate_video_frames(path: str):
-    """Decode frames as RGB uint8 arrays."""
+    """Decode frames as RGB uint8 arrays (native swizzle when available)."""
     import cv2
+
+    from vtoonify_tpu import native
 
     cap = cv2.VideoCapture(path)
     try:
@@ -39,7 +41,7 @@ def iterate_video_frames(path: str):
             ok, frame = cap.read()
             if not ok:
                 break
-            yield fps, cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)
+            yield fps, native.rgb_to_bgr(np.ascontiguousarray(frame))
     finally:
         cap.release()
 
@@ -60,13 +62,13 @@ class _AsyncWriter:
         self._thread.start()
 
     def _run(self):
+        from vtoonify_tpu import native
+
         while True:
             item = self._q.get()
             if item is None:
                 break
-            self._writer.write(
-                self._cv2.cvtColor(item, self._cv2.COLOR_RGB2BGR)
-            )
+            self._writer.write(native.rgb_to_bgr(item))
             self._count += 1
 
     def write(self, frame_rgb_u8: np.ndarray):
