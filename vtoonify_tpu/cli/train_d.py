@@ -58,6 +58,10 @@ def build_parser():
 
     p.add_argument("--name", type=str, default="vtoonify_d_cartoon")
     p.add_argument("--pretrain", action="store_true")
+    p.add_argument("--resume", action="store_true",
+                   help="exact resume from the last full train state "
+                        "(params+EMA+optimizers+step; reference resume is "
+                        "approximate, SURVEY.md §5.4)")
     p.add_argument("--tp", type=int, default=1,
                    help="tensor-parallel mesh width")
     p.add_argument("--multihost", action="store_true")
@@ -239,6 +243,11 @@ def main(argv=None):
 
     _, frozen = split_trainable(vt_params, pretrain=False)
     state = init_train_d_state(vt_params, d_params, args.batch, cfg, tcfg)
+    state_path = f"checkpoint/{args.name}/train_state.ckpt"
+    if args.resume and os.path.exists(state_path):
+        state = ckpt_util.load_train_state(state_path, state)
+        args.start_iter = int(state.step)
+        print(f"resumed full train state at step {args.start_iter}")
     state = state._replace(
         trainable=shard_params(state.trainable, mesh, tp=args.tp > 1),
         d_params=shard_params(state.d_params, mesh, tp=args.tp > 1),
@@ -287,6 +296,7 @@ def main(argv=None):
             ckpt_util.save_pytree(
                 f"checkpoint/{args.name}/{name}", {"g_ema": state.ema}
             )
+            ckpt_util.save_train_state(state_path, state)
 
 
 if __name__ == "__main__":
