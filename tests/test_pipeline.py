@@ -153,3 +153,29 @@ def test_align_face_parity():
     assert all(v % 8 == 0 for v in (top, bottom, left, right))
     eye_dist = np.mean(lm[42:48, 0]) - np.mean(lm[36:42, 0])
     assert np.isclose(scale, 64.0 / eye_dist)
+
+
+def test_pipeline_bucketing_and_mesh(tiny_models):
+    """size_bucket pads & crops; mesh shards the frame axis."""
+    import jax
+
+    from vtoonify_tpu.parallel.mesh import make_mesh
+
+    _, _, cfg, vt_params, bn_params = tiny_models
+    rng = np.random.RandomState(60)
+    s_w = jnp.asarray(rng.randn(1, cfg.n_latent, 512).astype(np.float32) * 0.3)
+
+    pipe = ToonifyPipeline(vt_params, cfg, bn_params, dtype=jnp.float32,
+                           size_bucket=16, mesh=make_mesh(8))
+    frames = rng.randint(0, 256, (8, 24, 40, 3), dtype=np.uint8)
+    out = pipe.process_batch(frames, s_w, 0.5)
+    assert out.shape == (8, 96, 160, 3)  # 4× the unpadded size
+
+    # interior matches the exact (unbucketed) computation away from the
+    # padded boundary (receptive-field halo)
+    pipe_exact = ToonifyPipeline(vt_params, cfg, bn_params, dtype=jnp.float32)
+    ref = pipe_exact.process_batch(frames, s_w, 0.5)
+    a = np.asarray(out)[:, 16:-16, 16:-16]
+    b = np.asarray(ref)[:, 16:-16, 16:-16]
+    diff = np.abs(a.astype(np.int32) - b.astype(np.int32))
+    assert (diff <= 1).mean() > 0.97

@@ -94,14 +94,26 @@ class ToonifyPipeline:
         latent_avg=None,
         exstyle=None,  # z+ exemplar code (1, n_latent, 512), pre-zplus2wplus
         dtype=jnp.bfloat16,
+        mesh=None,  # optional jax.sharding Mesh: shard the frame axis over 'dp'
+        size_bucket: Optional[int] = None,  # round H,W up to a multiple and
+        # crop the output — one compiled program per bucket instead of per
+        # exact crop size (reflect padding; boundary pixels may differ within
+        # the conv receptive field)
     ):
         self.vt_cfg = vt_cfg
         self.dtype = dtype
+        self.mesh = mesh
+        self.size_bucket = size_bucket
         # Keep an f32 copy of the pieces used for style preparation (done once,
         # accuracy matters more than speed there).
         self._vt_params_f32 = vt_params
         self.vt_params = _cast_tree(vt_params, dtype)
         self.parsing_params = _cast_tree(parsing_params, dtype)
+        if mesh is not None:
+            from vtoonify_tpu.parallel.mesh import shard_params
+
+            self.vt_params = shard_params(self.vt_params, mesh)
+            self.parsing_params = shard_params(self.parsing_params, mesh)
         self.psp_params = psp_params
         self.psp_cfg = psp_cfg or PSPEncoderConfig()
         self.latent_avg = latent_avg
@@ -146,12 +158,35 @@ class ToonifyPipeline:
 
     # -- frame processing ----------------------------------------------------
 
+    def _place(self, frames):
+        if self.mesh is None:
+            return jnp.asarray(frames)
+        from vtoonify_tpu.parallel.mesh import shard_array_batch
+
+        return shard_array_batch(jnp.asarray(frames), self.mesh)
+
     def process_batch(self, frames_u8: np.ndarray, s_w, d_s: float):
         """(B, H, W, 3) uint8 → (B, 4H, 4W, 3) uint8 device array (async)."""
-        return self._frame_fn(
+        frames_u8 = np.asarray(frames_u8)
+        pad_h = pad_w = 0
+        if self.size_bucket:
+            m = self.size_bucket
+            h, w = frames_u8.shape[1:3]
+            pad_h, pad_w = (-h) % m, (-w) % m
+            if pad_h or pad_w:
+                frames_u8 = np.pad(
+                    frames_u8, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)),
+                    mode="reflect",
+                )
+        out = self._frame_fn(
             self.vt_params, self.vt_cfg, self.parsing_params,
-            jnp.asarray(frames_u8), s_w, jnp.asarray(d_s, jnp.float32),
+            self._place(frames_u8), s_w, jnp.asarray(d_s, jnp.float32),
         )
+        if pad_h or pad_w:
+            oh = out.shape[1] - 4 * pad_h
+            ow = out.shape[2] - 4 * pad_w
+            out = out[:, :oh, :ow]
+        return out
 
     def process_batch_with_parsing(self, frames_u8: np.ndarray, x_p, s_w,
                                    d_s: float):
