@@ -92,3 +92,41 @@ def conv_transpose2d(x, w, *, stride=2, padding=0, groups=1, precision=None):
         feature_group_count=groups,
         precision=precision,
     )
+
+
+def conv2d_s2d_packed(x, w, precision=None):
+    """3×3 stride-1 same-pad conv computed in space-to-depth packing.
+
+    For wide-resolution/narrow-channel tensors (the StyleGAN high-res tail,
+    e.g. 1024²×32), a direct conv wastes ~16× on 128-lane padding (both
+    operands pad Cin/Cout→128). Packing 2×2 spatial blocks into channels
+    turns it into an equivalent (3,3,4C,4C) conv at half resolution — 16/9×
+    the nominal FLOPs but near-full MXU lanes. Exact (pure index algebra).
+
+    Args: x (B, H, W, C) with H, W even; w (3, 3, C, C_out).
+    """
+    b, h, wd, c = x.shape
+    cout = w.shape[-1]
+    # packed kernel: output block (a,b) at packed pixel (u,v) gathers input
+    # block (p,q) at (u+m, v+n) where 2m+p = a+dy-1, 2n+q = b+dx-1
+    kp = jnp.zeros((3, 3, 4, c, 4, cout), w.dtype)
+    for a_ in range(2):
+        for b_ in range(2):
+            for dy in range(3):
+                for dx in range(3):
+                    ty, tx = a_ + dy - 1, b_ + dx - 1
+                    m, p = ty // 2, ty % 2
+                    n, q = tx // 2, tx % 2
+                    kp = kp.at[m + 1, n + 1, p * 2 + q, :, a_ * 2 + b_, :].add(
+                        w[dy, dx]
+                    )
+    kp = kp.reshape(3, 3, 4 * c, 4 * cout)
+    xp = x.reshape(b, h // 2, 2, wd // 2, 2, c)
+    xp = jnp.transpose(xp, (0, 1, 3, 2, 4, 5)).reshape(b, h // 2, wd // 2,
+                                                       4 * c)
+    yp = lax.conv_general_dilated(
+        xp, kp, (1, 1), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"), precision=precision,
+    )
+    yp = yp.reshape(b, h // 2, wd // 2, 2, 2, cout)
+    return jnp.transpose(yp, (0, 1, 3, 2, 4, 5)).reshape(b, h, wd, cout)
