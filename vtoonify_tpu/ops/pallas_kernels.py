@@ -130,3 +130,107 @@ def blur_same_pallas(x, kernel_1d, pad=(1, 1), interpret: bool = False):
                                memory_space=pltpu.VMEM),
         interpret=interpret,
     )(x, k, k)
+
+
+# ---------------------------------------------------------------------------
+# fused modulated 3×3 conv (stride 1, same pad) — the StyleGAN high-res tail
+#
+# In the XLA graph each styled conv at 1024²×32ch costs ~14 ms in context:
+# the conv itself runs lane-padded (32→128 on both operands ≈ 16× waste) and
+# the modulation/demodulation/activation elementwise passes + layout changes
+# each re-stream the ~270 MB activation through HBM. This kernel does ONE
+# HBM read and ONE write per tensor: slab-DMA a row stripe (with halo),
+# scale by the per-sample style s, accumulate 3 row-matmuls with the taps
+# packed into the contraction dim (K = 3·3·C), then apply demod, bias and
+# leaky-relu in-register.
+
+
+def _modconv3x3_kernel(s_ref, d_ref, b_ref, w_ref, x_hbm, o_ref, slab, sem,
+                       *, rows, width, wpad, cin, cout, slope, gain, has_act):
+    bi = pl.program_id(0)
+    ri = pl.program_id(1)
+
+    copy = pltpu.make_async_copy(
+        x_hbm.at[bi, pl.ds(ri * rows, rows + 2)], slab, sem
+    )
+    copy.start()
+    copy.wait()
+
+    # dynamic batch-row select via one-hot (Mosaic can't prove sublane
+    # alignment for a direct dynamic index on packed bf16 rows)
+    nb = s_ref.shape[0]
+    sel = (jax.lax.broadcasted_iota(jnp.int32, (nb, 1), 0) == bi)
+    s_row = jnp.sum(s_ref[...] * sel.astype(s_ref.dtype), axis=0)
+    d_row = jnp.sum(d_ref[...] * sel.astype(d_ref.dtype), axis=0)
+
+    xs = slab[...] * s_row  # (rows+2, width+2, cin), style-modulated
+
+    acc = jnp.zeros((rows * width, cout), jnp.float32)
+    for dy in range(3):
+        r = xs[dy:dy + rows]  # (rows, width+2, cin)
+        for dx in range(3):
+            tap = r[:, dx:dx + width].reshape(rows * width, cin)
+            acc = acc + jnp.dot(tap, w_ref[dy * 3 + dx],
+                                preferred_element_type=jnp.float32)
+
+    out = acc * d_row
+    if has_act:
+        out = out + b_ref[0]
+        out = jnp.where(out >= 0, out, out * slope) * gain
+    o_ref[0] = out.reshape(rows, width, cout).astype(o_ref.dtype)
+
+
+def modconv3x3_fused_pallas(x, w, s, d=None, act_bias=None,
+                            negative_slope: float = 0.2,
+                            gain: float = math.sqrt(2.0),
+                            rows: int = 8, interpret: bool = False):
+    """Fused styled conv: lrelu(demod·conv(x·s, w) + bias)·√2.
+
+    Args:
+      x: (B, H, W, C) NHWC; H divisible by `rows`.
+      w: (3, 3, C, Cout) — already scaled by the equalized-LR factor.
+      s: (B, C) per-sample modulation; d: (B, Cout) demod (or None);
+      act_bias: (Cout,) or None (None ⇒ no activation, raw conv out).
+    """
+    b, h, wd, c = x.shape
+    cout = w.shape[-1]
+    assert h % rows == 0
+    # right-pad W so HBM slab slices are tile-aligned (multiple of 8), and
+    # pad Cin to the 128-lane tile (Mosaic lays the HBM buffer out padded
+    # anyway; zero weight rows make the junk lanes inert)
+    wp = ((wd + 2 + 7) // 8) * 8
+    cp = ((c + 127) // 128) * 128
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, wp - wd - 1), (0, cp - c)))
+    w_taps = jnp.pad(w.reshape(9, c, cout), ((0, 0), (0, cp - c), (0, 0)))
+    s = jnp.pad(s, ((0, 0), (0, cp - c)))
+    if d is None:
+        d = jnp.ones((b, cout), x.dtype)
+    has_act = act_bias is not None
+    if act_bias is None:
+        act_bias = jnp.zeros((cout,), x.dtype)
+
+    kern = functools.partial(
+        _modconv3x3_kernel, rows=rows, width=wd, wpad=wp, cin=cp, cout=cout,
+        slope=negative_slope, gain=gain, has_act=has_act,
+    )
+    return pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((b, h, wd, cout), x.dtype),
+        grid=(b, h // rows),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),          # s (whole)
+            pl.BlockSpec(memory_space=pltpu.VMEM),          # d (whole)
+            pl.BlockSpec(memory_space=pltpu.VMEM),          # bias (whole)
+            pl.BlockSpec(memory_space=pltpu.VMEM),          # w (whole)
+            pl.BlockSpec(memory_space=pltpu.ANY),           # x (HBM)
+        ],
+        out_specs=pl.BlockSpec((1, rows, wd, cout),
+                               lambda bi, ri: (bi, ri, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((rows + 2, wp, cp), x.dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(s.astype(x.dtype), d.astype(x.dtype),
+      act_bias.astype(x.dtype)[None], w_taps.astype(x.dtype), xp)
