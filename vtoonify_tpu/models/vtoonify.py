@@ -309,6 +309,22 @@ def vtoonify_apply(
                 )
 
         # noise is architecturally zero (vtoonify.py:266-267) → omit
+        stage_cout = gp["convs"][2 * pair]["conv"]["weight"].shape[-1]
+        if stage_cout <= 128:
+            # narrow-channel high-res stage → run it in space-to-depth packed
+            # layout (exact; avoids 128-lane padding and inter-op relayouts
+            # on the wide/narrow tensors). Fusion above already happened on
+            # the unpacked input.
+            outp = L.styled_conv_up_packed(
+                gp["convs"][2 * pair], out, adastyles[:, _index + 6]
+            )
+            outp = L.styled_conv_packed(gp["convs"][2 * pair + 1], outp,
+                                        adastyles[:, _index + 7])
+            skip = L.to_rgb_packed(gp["to_rgbs"][pair], outp,
+                                   adastyles[:, _index + 8], skip)
+            out = L.depth_to_space2(outp)
+            _index += 2
+            continue
         out = L.styled_conv(
             gp["convs"][2 * pair], out, adastyles[:, _index + 6], upsample=True
         )

@@ -419,3 +419,96 @@ def ada_res_block(p, x, style, w=1.0, dilation=1):
     out = conv_layer(p["conv2"], adaptive_instance_norm(p["norm2"], out, style),
                      3, dilation=dilation)
     return out * w + x
+
+
+# ---------------------------------------------------------------------------
+# packed-layout tail execution (TPU-first, exact)
+#
+# The no-fusion high-res generator stages (e.g. 512→1024 with 64→32 channels)
+# are dominated not by FLOPs but by 128-lane padding and inter-op relayouts.
+# These variants keep activations in space-to-depth packing (2×2 spatial
+# block → channel, phase-major) across the whole stage: the polyphase
+# upsample conv simply skips its depth-to-space, the second conv runs as an
+# equivalent (3,3,4C,4C) packed conv, and ToRGB unpacks once at the end.
+# Bit-identical to the unpacked path (pure index algebra).
+
+
+def _packed_kernel_3x3(w):
+    """(3,3,C,Co) → equivalent packed (3,3,4C,4Co) kernel (phase-major)."""
+    c, cout = w.shape[2], w.shape[3]
+    kp = jnp.zeros((3, 3, 4, c, 4, cout), w.dtype)
+    for a in range(2):
+        for b_ in range(2):
+            for dy in range(3):
+                for dx in range(3):
+                    ty, tx = a + dy - 1, b_ + dx - 1
+                    m, p = ty // 2, ty % 2
+                    n, q = tx // 2, tx % 2
+                    kp = kp.at[m + 1, n + 1, p * 2 + q, :,
+                               a * 2 + b_, :].add(w[dy, dx])
+    return kp.reshape(3, 3, 4 * c, 4 * cout)
+
+
+def depth_to_space2(yp):
+    """(B, H, W, 4C) phase-major packed → (B, 2H, 2W, C)."""
+    b, h, w_, c4 = yp.shape
+    c = c4 // 4
+    yp = yp.reshape(b, h, w_, 2, 2, c)
+    return jnp.transpose(yp, (0, 1, 3, 2, 4, 5)).reshape(b, 2 * h, 2 * w_, c)
+
+
+def _mod_sd(p, style, eps=1e-8):
+    w = p["weight"]
+    kh, kw, cin, cout = w.shape
+    scale = 1.0 / math.sqrt(cin * kh * kw)
+    s = equal_linear(p["modulation"], style)
+    w2 = (scale * scale) * jnp.sum(jnp.square(w), axis=(0, 1))
+    d = lax.rsqrt(jnp.square(s.astype(jnp.float32)) @ w2 + eps)
+    return (w * scale), s, d
+
+
+def styled_conv_up_packed(p, x, style, blur_kernel=BLUR_KERNEL):
+    """Upsampling styled conv; input unpacked (B,H,W,Cin), output PACKED
+    (B,H,W,4Cout) — the polyphase conv without its depth-to-space."""
+    wsc, s, d = _mod_sd(p["conv"], style)
+    c6 = _compose_upsample_kernel(wsc.astype(x.dtype), blur_kernel)
+    phases = [c6[1::2, 1::2], c6[1::2, 0::2], c6[0::2, 1::2], c6[0::2, 0::2]]
+    k_cat = jnp.concatenate(phases, axis=-1)
+    y = conv2d(x * s[:, None, None, :].astype(x.dtype),
+               k_cat.astype(x.dtype), padding=1)
+    cout = wsc.shape[-1]
+    dd = jnp.tile(d.astype(x.dtype), (1, 4))[:, None, None, :]
+    y = y * dd
+    bias = jnp.tile(p["act_bias"], 4)
+    return fused_leaky_relu(y, bias)
+
+
+def styled_conv_packed(p, xp, style):
+    """Non-upsampling styled conv entirely in packed layout."""
+    wsc, s, d = _mod_sd(p["conv"], style)
+    kp = _packed_kernel_3x3(wsc.astype(xp.dtype))
+    sp = jnp.tile(s.astype(xp.dtype), (1, 4))[:, None, None, :]
+    y = conv2d(xp * sp, kp, padding=1)
+    dd = jnp.tile(d.astype(xp.dtype), (1, 4))[:, None, None, :]
+    y = y * dd
+    bias = jnp.tile(p["act_bias"], 4)
+    return fused_leaky_relu(y, bias)
+
+
+def to_rgb_packed(p, xp, style, skip=None, blur_kernel=BLUR_KERNEL):
+    """ToRGB on packed input; returns UNPACKED (B, 2H, 2W, 3) + skip chain."""
+    w = p["conv"]["weight"]  # (1,1,Cin,3)
+    cin = w.shape[2]
+    scale = 1.0 / math.sqrt(cin)
+    s = equal_linear(p["conv"]["modulation"], style)
+    wsc = (w[0, 0] * scale).astype(xp.dtype)  # (Cin, 3)
+    kp = jnp.zeros((1, 1, 4 * cin, 12), xp.dtype)
+    for ph in range(4):
+        kp = kp.at[0, 0, ph * cin:(ph + 1) * cin, ph * 3:(ph + 1) * 3].set(wsc)
+    sp = jnp.tile(s.astype(xp.dtype), (1, 4))[:, None, None, :]
+    y = conv2d(xp * sp, kp)
+    y = y + jnp.tile(p["bias"].reshape(3), 4).astype(y.dtype)
+    out = depth_to_space2(y)
+    if skip is not None:
+        out = out + upsample_2x(skip, make_kernel(blur_kernel).astype(skip.dtype))
+    return out
