@@ -133,6 +133,6 @@ def test_model_api_registry():
 
     assert len(STYLE_TYPES) == 22
     assert STYLE_TYPES["cartoon1"][1] == 26
-    assert dynamic_batch_size(400, 360) == 4
+    assert dynamic_batch_size(400, 360) == 8
     assert dynamic_batch_size(1920, 1080) == 1
     assert dynamic_batch_size(256, 256, on_accelerator=False) == 4

@@ -48,12 +48,14 @@ VIDEO_FRAME_LIMIT_TPU = 300
 
 
 def dynamic_batch_size(width: int, height: int, on_accelerator: bool = True):
-    """Resolution-aware batch heuristic (reference vtoonify_model.py:246-252)."""
+    """Resolution-aware batch heuristic (reference vtoonify_model.py:246-252;
+    the TPU cap is raised to 8 — batch-8 amortization measured ~1.5× the
+    fps/chip of the reference's GPU cap of 4)."""
     if width == 0 or height == 0:
         return 1
     if not on_accelerator:
         return max(1, int(4 * 256 * 256 / width / height))
-    return min(max(1, int(4 * 400 * 360 / width / height)), 4)
+    return min(max(1, int(8 * 400 * 360 / width / height)), 8)
 
 
 @dataclass
