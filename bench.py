@@ -37,8 +37,8 @@ def main():
     from vtoonify_tpu.models.vtoonify import VToonifyConfig, init_vtoonify
     from vtoonify_tpu.pipeline.toonify import frame_graph
 
-    batch = int(os.environ.get("BENCH_BATCH", "8"))
-    reps = int(os.environ.get("BENCH_REPS", "3"))
+    batch = int(os.environ.get("BENCH_BATCH", "16"))
+    reps = int(os.environ.get("BENCH_REPS", "2"))
 
     cfg = VToonifyConfig()  # 256 → 1024, DualStyleGAN backbone
     key = jax.random.PRNGKey(0)
