@@ -125,6 +125,9 @@ class TrainDConfig(NamedTuple):
     lpips_size: int = 512       # perceptual-loss resolution (":311-312")
     aug_p: float = 0.2
     aug_max_pad: Optional[int] = None
+    remat: bool = True          # rematerialize G forwards + LPIPS (trades
+    # FLOPs for HBM — the three full-res G forwards per iteration would
+    # otherwise exceed one chip's HBM at the 1024px production config)
 
 
 def init_train_d_state(vt_params, d_params, batch: int,
@@ -211,11 +214,22 @@ def train_d_step(
     off_h = jax.random.randint(jax.random.fold_in(k_crop, 1), (), 0,
                                max_off + 1)
 
+    def _vt_mask(tr, inp, xl_, ds_):
+        return vtoonify_apply({**frozen, **tr}, cfg, inp, xl_, ds_,
+                              return_mask=True)
+
+    def _vt(tr, inp, xl_, ds_):
+        return vtoonify_apply({**frozen, **tr}, cfg, inp, xl_, ds_)
+
+    _lpips = lpips_apply
+    if tcfg.remat:
+        _vt_mask = jax.checkpoint(_vt_mask)
+        _vt = jax.checkpoint(_vt)
+        _lpips = jax.checkpoint(lpips_apply)
+
     def g_loss_fn(trainable):
-        params = {**frozen, **trainable}
-        fake_output, m_Es = vtoonify_apply(
-            params, cfg, batch_data["real_input"], xl, d_s, return_mask=True
-        )
+        fake_output, m_Es = _vt_mask(trainable, batch_data["real_input"], xl,
+                                     d_s)
         fake_pred = cond_discriminator_apply(
             d_params, dcfg, avg_pool(fake_output, pool_to_256), degree_label,
             style_ind,
@@ -224,7 +238,7 @@ def train_d_step(
         g_rec = mse_loss(fake_output, batch_data["real_output"]) * tcfg.grec_loss
         pool_to_512 = max(1, cfg.out_size // tcfg.lpips_size)
         g_feat = jnp.sum(
-            lpips_apply(
+            _lpips(
                 lpips_params,
                 avg_pool(fake_output, pool_to_512),
                 avg_pool(batch_data["real_output"], pool_to_512),
@@ -248,7 +262,7 @@ def train_d_step(
             fake_output, (0, off_w, off_h, 0),
             (fake_output.shape[0], cs, cs, 3),
         )
-        fake_crop_output = vtoonify_apply(params, cfg, crop_input, xl, d_s)
+        fake_crop_output = _vt(trainable, crop_input, xl, d_s)
         g_tmp = (
             jnp.mean(jnp.square(fake_crop_output - crop_fake_output))
             * tmp_ramp * tcfg.tmp_loss
