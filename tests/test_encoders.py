@@ -39,13 +39,14 @@ def test_psp_encoder_parity():
     assert out.shape == (1, 18, 512)
     np.testing.assert_allclose(out, ref_out, atol=2e-3, rtol=1e-3)
 
-    # latent_avg hook behavior (util.py:157-160)
-    avg = np.random.RandomState(32).randn(512).astype(np.float32)
+    # latent_avg hook behavior (util.py:157-160) — real pSp checkpoints store
+    # latent_avg as (n_styles, 512)
+    avg = np.random.RandomState(32).randn(18, 512).astype(np.float32)
     out2 = np.asarray(
         psp_encoder_apply(params, cfg, jnp.asarray(x), latent_avg=jnp.asarray(avg))
     )
-    np.testing.assert_allclose(out2, ref_out + avg[None, None, :], atol=2e-3,
-                               rtol=1e-3)
+    assert out2.shape == (1, 18, 512)
+    np.testing.assert_allclose(out2, ref_out + avg[None], atol=2e-3, rtol=1e-3)
 
 
 def test_psp_init_structure_matches():

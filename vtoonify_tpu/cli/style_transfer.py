@@ -86,6 +86,9 @@ def main(argv=None):
     from vtoonify_tpu.utils import checkpoint as ckpt_util
     from vtoonify_tpu.utils.image import to_uint8
 
+    if not os.path.exists(args.content):
+        raise SystemExit(f"error: content file not found: {args.content}")
+
     cfg = VToonifyConfig(backbone=args.backbone)
     vt_params = ckpt_util.load_reference_vtoonify(args.ckpt, cfg)
     parsing_params = ckpt_util.load_reference_faceparsing(args.faceparsing_path)
@@ -96,6 +99,11 @@ def main(argv=None):
     exstyle = None
     if args.backbone == "dualstylegan":
         bank, names = ckpt_util.load_exstyle_bank(args.exstyle_path)
+        if not 0 <= args.style_id < len(names):
+            raise SystemExit(
+                f"error: --style_id {args.style_id} out of range; "
+                f"{args.exstyle_path} has styles 0..{len(names) - 1}"
+            )
         exstyle = bank[names[args.style_id]]
 
     pipe = ToonifyPipeline(

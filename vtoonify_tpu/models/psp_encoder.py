@@ -184,5 +184,10 @@ def psp_encoder_apply(params, cfg: PSPEncoderConfig, x,
 
     out = jnp.stack(latents, axis=1)
     if latent_avg is not None:
-        out = out + latent_avg[None, None, :]
+        # pSp checkpoints store latent_avg as (n_styles, 512); a (512,) vector
+        # (layer-shared average) is also accepted.
+        la = jnp.asarray(latent_avg)
+        if la.ndim == 1:
+            la = la[None, :]
+        out = out + la[None]
     return out
