@@ -33,6 +33,10 @@ def _median_time(fn, *args, n=6):
 
 
 def main():
+    from vtoonify_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     from vtoonify_tpu.models.bisenet import init_bisenet
     from vtoonify_tpu.models.vtoonify import VToonifyConfig, init_vtoonify
     from vtoonify_tpu.pipeline.toonify import frame_graph

@@ -78,6 +78,10 @@ def main(argv=None):
 
     import jax.numpy as jnp
 
+    from vtoonify_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     from vtoonify_tpu.models.vtoonify import VToonifyConfig
     from vtoonify_tpu.pipeline import crop as crop_mod
     from vtoonify_tpu.pipeline.landmarks import make_landmarker

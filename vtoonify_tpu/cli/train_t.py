@@ -82,6 +82,10 @@ def main(argv=None):
     import jax
     import jax.numpy as jnp
 
+    from vtoonify_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     from vtoonify_tpu.models.psp_encoder import PSPEncoderConfig
     from vtoonify_tpu.models.vtoonify import (
         CondDiscriminatorConfig,
