@@ -371,7 +371,7 @@ class CondDiscriminatorConfig:
 
 
 def init_cond_discriminator(key, cfg: CondDiscriminatorConfig):
-    kd, k1, k2, k3, k4 = jax.random.split(key, 5)
+    kd, k1, k2, k3, k4, k5 = jax.random.split(key, 6)
     base = G.init_discriminator(kd, cfg.base)
     ch = cfg.base.channels
     if cfg.use_condition:
@@ -383,7 +383,7 @@ def init_cond_discriminator(key, cfg: CondDiscriminatorConfig):
             L.init_linear_torch(k4, 64, cd // 2),
         ]
         base["style_embed"] = (
-            jax.random.normal(k1, (cfg.style_num, cd - cd // 2), jnp.float32)
+            jax.random.normal(k5, (cfg.style_num, cd - cd // 2), jnp.float32)
         )
     return base
 

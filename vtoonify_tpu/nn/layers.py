@@ -151,7 +151,7 @@ def res_block(p, x):
 def init_modulated_conv2d(key, in_ch, out_ch, ksize, style_dim):
     k1, k2 = jax.random.split(key)
     return {
-        "weight": jax.random.normal(key, (ksize, ksize, in_ch, out_ch),
+        "weight": jax.random.normal(k1, (ksize, ksize, in_ch, out_ch),
                                     jnp.float32),
         "modulation": init_equal_linear(k2, style_dim, in_ch, bias_init=1.0),
     }
