@@ -143,6 +143,57 @@ def test_lpips_parity():
                                rtol=1e-3)
 
 
+def test_load_lpips_defaults(tmp_path):
+    """The trainer's LPIPS loader: hard error without weights, and full
+    parity through the default (vendored reference) lin heads when a VGG16
+    state_dict is given (VERDICT r1 #3)."""
+    from vtoonify_tpu.models.lpips import find_lin_weights, load_lpips
+
+    with pytest.raises(ValueError, match="allow_random_lpips"):
+        load_lpips(None, None, allow_random=False)
+
+    lin_file = find_lin_weights()
+    if lin_file is None:
+        pytest.skip("vendored reference lin weights not present")
+    lin_sd = {k: v.numpy() for k, v in
+              torch.load(lin_file, map_location="cpu").items()}
+
+    rng = np.random.RandomState(53)
+    conv_idx = [0, 2, 5, 7, 10, 12, 14, 17, 19, 21, 24, 26, 28]
+    conv_ch = [(3, 64), (64, 64), (64, 128), (128, 128), (128, 256),
+               (256, 256), (256, 256), (256, 512), (512, 512), (512, 512),
+               (512, 512), (512, 512), (512, 512)]
+    vgg_sd = {}
+    for i, (ci, co) in zip(conv_idx, conv_ch):
+        vgg_sd[f"features.{i}.weight"] = (
+            rng.randn(co, ci, 3, 3).astype(np.float32) * 0.05
+        )
+        vgg_sd[f"features.{i}.bias"] = rng.randn(co).astype(np.float32) * 0.05
+    vgg_path = str(tmp_path / "vgg16.pth")
+    torch.save({k: torch.from_numpy(v) for k, v in vgg_sd.items()}, vgg_path)
+
+    params, desc = load_lpips(vgg_path)  # lin heads default to the vendored file
+    assert lin_file in desc
+    x0 = rng.randn(2, 64, 64, 3).astype(np.float32).clip(-1, 1)
+    x1 = rng.randn(2, 64, 64, 3).astype(np.float32).clip(-1, 1)
+    ours = np.asarray(lpips_apply(params, jnp.asarray(x0), jnp.asarray(x1)))
+    ref = _torch_lpips(
+        vgg_sd, lin_sd,
+        torch.from_numpy(np.transpose(x0, (0, 3, 1, 2)).copy()),
+        torch.from_numpy(np.transpose(x1, (0, 3, 1, 2)).copy()),
+    ).numpy()
+    np.testing.assert_allclose(ours.reshape(-1), ref.reshape(-1), atol=1e-4,
+                               rtol=1e-3)
+
+    # random backbone still picks up the real lin heads
+    params_r, desc_r = load_lpips(None, None, allow_random=True)
+    assert "real lin heads" in desc_r
+    got = np.asarray(params_r["lins"][0]["weight"]).reshape(-1)
+    np.testing.assert_allclose(
+        got, lin_sd["lin0.model.1.weight"].reshape(-1)
+    )
+
+
 def test_gan_losses_parity():
     rng = np.random.RandomState(52)
     r = rng.randn(8, 1).astype(np.float32)

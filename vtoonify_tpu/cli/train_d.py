@@ -55,6 +55,10 @@ def build_parser():
     p.add_argument("--lpips_lin_path", type=str, default=None,
                    help="LPIPS lin weights (defaults to the reference's "
                         "in-repo weights if present)")
+    p.add_argument("--allow_random_lpips", action="store_true",
+                   help="explicitly allow a randomly-initialized LPIPS net "
+                        "when --vgg_path is absent (tests/smoke only — the "
+                        "perceptual loss is meaningless with random weights)")
 
     p.add_argument("--name", type=str, default="vtoonify_d_cartoon")
     p.add_argument("--pretrain", action="store_true")
@@ -111,7 +115,7 @@ def main(argv=None):
         init_vtoonify,
         zplus2wplus,
     )
-    from vtoonify_tpu.models.lpips import convert_lpips, init_lpips
+    from vtoonify_tpu.models.lpips import load_lpips
     from vtoonify_tpu.parallel.mesh import (
         make_mesh,
         shard_array_batch,
@@ -220,20 +224,11 @@ def main(argv=None):
     )
     psp_cfg = PSPEncoderConfig()
 
-    if args.vgg_path:
-        import torch
-
-        vgg_sd = {k: v.numpy() for k, v in torch.load(
-            args.vgg_path, map_location="cpu").items()}
-        lin_path = args.lpips_lin_path or (
-            "/root/reference/model/stylegan/lpips/weights/v0.1/vgg.pth"
-        )
-        lin_sd = {k: v.numpy() for k, v in torch.load(
-            lin_path, map_location="cpu").items()}
-        lpips_params = convert_lpips(vgg_sd, lin_sd)
-    else:
-        print("WARNING: no --vgg_path; LPIPS uses random weights")
-        lpips_params = init_lpips(jax.random.PRNGKey(1))
+    lpips_params, lpips_desc = load_lpips(
+        args.vgg_path, args.lpips_lin_path,
+        allow_random=args.allow_random_lpips,
+    )
+    print(f"LPIPS weights: {lpips_desc}")
 
     dcfg = CondDiscriminatorConfig(size=256, use_condition=True,
                                    style_num=styles.shape[0])

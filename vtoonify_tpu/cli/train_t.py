@@ -56,6 +56,9 @@ def build_parser():
                    default="./checkpoint/encoder.pt")
     p.add_argument("--vgg_path", type=str, default=None)
     p.add_argument("--lpips_lin_path", type=str, default=None)
+    p.add_argument("--allow_random_lpips", action="store_true",
+                   help="explicitly allow a randomly-initialized LPIPS net "
+                        "when --vgg_path is absent (tests/smoke only)")
 
     p.add_argument("--name", type=str, default="vtoonify_t_cartoon")
     p.add_argument("--pretrain", action="store_true")
@@ -93,7 +96,7 @@ def main(argv=None):
         init_cond_discriminator,
         init_vtoonify,
     )
-    from vtoonify_tpu.models.lpips import convert_lpips, init_lpips
+    from vtoonify_tpu.models.lpips import load_lpips
     from vtoonify_tpu.parallel.mesh import make_mesh, shard_params
     from vtoonify_tpu.train.steps import (
         TrainDConfig,
@@ -170,20 +173,11 @@ def main(argv=None):
     )
     psp_cfg = PSPEncoderConfig()
 
-    if args.vgg_path:
-        import torch
-
-        vgg_sd = {k: v.numpy() for k, v in torch.load(
-            args.vgg_path, map_location="cpu").items()}
-        lin_path = args.lpips_lin_path or (
-            "/root/reference/model/stylegan/lpips/weights/v0.1/vgg.pth"
-        )
-        lin_sd = {k: v.numpy() for k, v in torch.load(
-            lin_path, map_location="cpu").items()}
-        lpips_params = convert_lpips(vgg_sd, lin_sd)
-    else:
-        print("WARNING: no --vgg_path; LPIPS uses random weights")
-        lpips_params = init_lpips(jax.random.PRNGKey(1))
+    lpips_params, lpips_desc = load_lpips(
+        args.vgg_path, args.lpips_lin_path,
+        allow_random=args.allow_random_lpips,
+    )
+    print(f"LPIPS weights: {lpips_desc}")
 
     dcfg = CondDiscriminatorConfig(size=256, use_condition=False)
     key, kd = jax.random.split(key)

@@ -81,6 +81,82 @@ def lpips_apply(params, x0, x1):
     return val
 
 
+# The reference vendors the learned lin heads in-repo
+# (model/stylegan/lpips/weights/v0.1/vgg.pth, loaded by dist_model.py:24-117).
+# Candidate default locations, first hit wins.
+DEFAULT_LIN_PATHS = (
+    "/root/reference/model/stylegan/lpips/weights/v0.1/vgg.pth",
+)
+
+
+def find_lin_weights(lin_path=None):
+    """Resolve the LPIPS lin-head weights file ($VTOONIFY_LPIPS_LIN or the
+    vendored reference copy). Returns a path or None."""
+    import os
+
+    candidates = [lin_path, os.environ.get("VTOONIFY_LPIPS_LIN")]
+    candidates += list(DEFAULT_LIN_PATHS)
+    for c in candidates:
+        if c and os.path.exists(c):
+            return c
+    return None
+
+
+def load_lpips(vgg_path=None, lin_path=None, allow_random=False, key=None):
+    """Build LPIPS params for training.
+
+    The reference always trains against pretrained LPIPS (dist_model.py
+    loads torchvision VGG16 + the vendored lin heads); random perceptual
+    weights silently corrupt 1 of the 5 G-losses, so absence of `vgg_path`
+    is a hard error unless `allow_random` is explicit. The lin heads default
+    to the vendored reference copy when present.
+    """
+    lin_file = find_lin_weights(lin_path)
+    if vgg_path is None:
+        if not allow_random:
+            raise ValueError(
+                "LPIPS needs pretrained VGG16 conv weights: pass --vgg_path "
+                "(a torchvision vgg16 state_dict). To knowingly train with a "
+                "random perceptual net (tests/smoke only), pass "
+                "--allow_random_lpips."
+            )
+        params = init_lpips(key if key is not None else jax.random.PRNGKey(1))
+        if lin_file is not None:
+            import torch
+
+            lin_sd = {k: v.numpy() for k, v in
+                      torch.load(lin_file, map_location="cpu").items()}
+            params["lins"] = convert_lpips_lins(lin_sd)
+            return params, f"random VGG16 + real lin heads ({lin_file})"
+        return params, "fully random (allow_random_lpips)"
+
+    import torch
+
+    vgg_sd = {k: v.numpy() for k, v in
+              torch.load(vgg_path, map_location="cpu").items()}
+    if lin_file is None:
+        raise ValueError(
+            "LPIPS lin-head weights not found: pass --lpips_lin_path or set "
+            "$VTOONIFY_LPIPS_LIN (the reference vendors them at "
+            "model/stylegan/lpips/weights/v0.1/vgg.pth)."
+        )
+    lin_sd = {k: v.numpy() for k, v in
+              torch.load(lin_file, map_location="cpu").items()}
+    return (convert_lpips(vgg_sd, lin_sd),
+            f"VGG16 {vgg_path} + lin heads {lin_file}")
+
+
+def convert_lpips_lins(lin_sd):
+    """LPIPS `lin*.model.1.weight` dict → the `lins` param list."""
+    import numpy as np
+
+    lins = []
+    for k in range(5):
+        w = lin_sd[f"lin{k}.model.1.weight"]  # (1, C, 1, 1)
+        lins.append({"weight": jnp.asarray(np.transpose(w, (2, 3, 1, 0)))})
+    return lins
+
+
 def convert_lpips(vgg_sd, lin_sd):
     """torchvision vgg16 `features.*` state_dict + LPIPS `lin*.model.1.weight`
     dict → params."""
@@ -101,8 +177,4 @@ def convert_lpips(vgg_sd, lin_sd):
                 }
             )
         vgg.append(convs)
-    lins = []
-    for k in range(5):
-        w = lin_sd[f"lin{k}.model.1.weight"]  # (1, C, 1, 1)
-        lins.append({"weight": jnp.asarray(np.transpose(w, (2, 3, 1, 0)))})
-    return {"vgg": vgg, "lins": lins}
+    return {"vgg": vgg, "lins": convert_lpips_lins(lin_sd)}
