@@ -54,7 +54,20 @@ def build_parser():
                    help="precomputed 68-point landmarks .npy (dlib-free path)")
     p.add_argument("--fp32", action="store_true",
                    help="run in float32 instead of bfloat16")
+    p.add_argument("--profile", action="store_true",
+                   help="print a decode/dispatch/fetch/encode stage "
+                        "breakdown after video processing")
+    p.add_argument("--frame_limit", type=int, default=None,
+                   help="process at most N video frames")
     return p
+
+
+def _make_timer(args):
+    if not args.profile:
+        return None
+    from vtoonify_tpu.utils.profiling import StageTimer
+
+    return StageTimer()
 
 
 def parse_args(argv=None):
@@ -82,7 +95,6 @@ def main(argv=None):
 
     enable_compilation_cache()
 
-    from vtoonify_tpu.models.vtoonify import VToonifyConfig
     from vtoonify_tpu.pipeline import crop as crop_mod
     from vtoonify_tpu.pipeline.landmarks import make_landmarker
     from vtoonify_tpu.pipeline.toonify import ToonifyPipeline
@@ -93,10 +105,16 @@ def main(argv=None):
     if not os.path.exists(args.content):
         raise SystemExit(f"error: content file not found: {args.content}")
 
-    cfg = VToonifyConfig(backbone=args.backbone)
-    vt_params = ckpt_util.load_reference_vtoonify(args.ckpt, cfg)
+    # model config (sizes, multiplier, backbone) is inferred from the
+    # checkpoint — the reference hardcodes 256→1024
+    vt_params, cfg = ckpt_util.load_reference_vtoonify(args.ckpt)
+    if cfg.backbone != args.backbone:
+        raise SystemExit(
+            f"error: --backbone {args.backbone} but {args.ckpt} is a "
+            f"{cfg.backbone} model"
+        )
     parsing_params = ckpt_util.load_reference_faceparsing(args.faceparsing_path)
-    psp_params, latent_avg = ckpt_util.load_reference_psp(
+    psp_params, latent_avg, psp_cfg = ckpt_util.load_reference_psp(
         args.style_encoder_path
     )
 
@@ -112,7 +130,7 @@ def main(argv=None):
 
     pipe = ToonifyPipeline(
         vt_params, cfg, parsing_params, psp_params=psp_params,
-        latent_avg=latent_avg, exstyle=exstyle,
+        psp_cfg=psp_cfg, latent_avg=latent_avg, exstyle=exstyle,
         dtype=jnp.float32 if args.fp32 else jnp.bfloat16,
     )
 
@@ -148,8 +166,15 @@ def main(argv=None):
             crop_out_path=os.path.join(args.output_path,
                                        basename + "_input.mp4"),
             parsing_maps=parsing_maps,
+            timer=_make_timer(args),
+            frame_limit=args.frame_limit,
         )
         print(f"{result.frames_written} frames written")
+        if result.stages:
+            print("stage breakdown (wall-clock, overlapped):")
+            for name, s in sorted(result.stages.items()):
+                print(f"  {name:<10s} total {s['total_s']:.2f}s over "
+                      f"{s['count']} calls (mean {s['mean_ms']:.1f} ms)")
     else:
         import cv2
 

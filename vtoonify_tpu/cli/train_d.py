@@ -70,6 +70,12 @@ def build_parser():
                    help="tensor-parallel mesh width")
     p.add_argument("--multihost", action="store_true")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--profile", type=int, default=0, metavar="N",
+                   help="capture an XLA device trace of N steps (written to "
+                        "log/NAME/trace, viewable in TensorBoard/Perfetto)")
+    p.add_argument("--tiny", action="store_true",
+                   help="32->128 debug model config (hermetic smoke tests "
+                        "only; checkpoints must match)")
     return p
 
 
@@ -121,6 +127,8 @@ def main(argv=None):
         shard_array_batch,
         shard_params,
     )
+    from vtoonify_tpu.train import synth
+    from vtoonify_tpu.train.logging import MetricsLogger, SampleGridLogger
     from vtoonify_tpu.train.steps import (
         TrainDConfig,
         init_pretrain_state,
@@ -130,8 +138,13 @@ def main(argv=None):
         train_d_step,
     )
     from vtoonify_tpu.utils import checkpoint as ckpt_util
+    from vtoonify_tpu.utils.profiling import StepTrace
 
-    cfg = VToonifyConfig(backbone="dualstylegan")
+    if args.tiny:
+        cfg = VToonifyConfig(in_size=32, out_size=128, channel_multiplier=1,
+                             num_res_layers=2, backbone="dualstylegan")
+    else:
+        cfg = VToonifyConfig(backbone="dualstylegan")
     key = jax.random.PRNGKey(args.seed)
     kinit, key = jax.random.split(key)
 
@@ -163,6 +176,10 @@ def main(argv=None):
 
     os.makedirs(f"checkpoint/{args.name}", exist_ok=True)
     rng = np.random.RandomState(args.seed)
+    log_dir = f"log/{args.name}"
+    mlog = MetricsLogger(log_dir)
+    tracer = StepTrace(os.path.join(log_dir, "trace"),
+                       args.start_iter + 1, args.profile)
 
     if args.pretrain:
         state = init_pretrain_state(vt_params, args.lr)
@@ -183,11 +200,16 @@ def main(argv=None):
                 sel = rng.randint(0, styles.shape[0], (args.batch,))
             style = shard_array_batch(styles[jnp.asarray(sel)], mesh)
             key, sub = jax.random.split(key)
+            if args.profile:
+                tracer.before(idx)
             state, metrics = step_fn(
                 state, frozen, parsing_sh, cfg, directions, style,
                 jnp.asarray(d_s, jnp.float32), sub, lr=args.lr,
             )
+            if args.profile:
+                tracer.after(idx, metrics)
             if (idx + 1) % max(args.log_every // 10, 1) == 0:
+                mlog.log(idx, metrics, d_s=float(d_s))
                 print(
                     f"iter {idx}: emse {float(metrics['emse']):.4f} "
                     f"({(time.time() - t0) / (idx - args.start_iter + 1):.2f}"
@@ -219,10 +241,10 @@ def main(argv=None):
         c = w.shape[-1]
         fs["weight"] = (w * 0.01).at[1, 1, 0:c, :].add(jnp.eye(c))
 
-    psp_params, latent_avg = ckpt_util.load_reference_psp(
-        args.style_encoder_path
+    psp_cfg = PSPEncoderConfig(n_styles=cfg.n_latent)
+    psp_params, latent_avg, psp_cfg = ckpt_util.load_reference_psp(
+        args.style_encoder_path, psp_cfg
     )
-    psp_cfg = PSPEncoderConfig()
 
     lpips_params, lpips_desc = load_lpips(
         args.vgg_path, args.lpips_lin_path,
@@ -230,14 +252,19 @@ def main(argv=None):
     )
     print(f"LPIPS weights: {lpips_desc}")
 
-    dcfg = CondDiscriminatorConfig(size=256, use_condition=True,
-                                   style_num=styles.shape[0])
+    dcfg = CondDiscriminatorConfig(
+        size=64 if args.tiny else 256,
+        channel_multiplier=1 if args.tiny else 2,
+        use_condition=True, style_num=styles.shape[0],
+    )
     key, kd = jax.random.split(key)
     d_params = init_cond_discriminator(kd, dcfg)
     tcfg = TrainDConfig(
         adv_loss=args.adv_loss, grec_loss=args.grec_loss,
         perc_loss=args.perc_loss, tmp_loss=args.tmp_loss,
         msk_loss=args.msk_loss, lr=args.lr,
+        **({"crop_size": 96, "lpips_size": 64, "aug_max_pad": 40}
+           if args.tiny else {}),
     )
 
     _, frozen = split_trainable(vt_params, pretrain=False)
@@ -256,6 +283,21 @@ def main(argv=None):
 
     step_fn = jax.jit(train_d_step,
                       static_argnames=("cfg", "dcfg", "tcfg", "psp_cfg"))
+    glog = SampleGridLogger(log_dir, cfg, args.fix_degree)
+
+    def _synth_for_log(trainable, sub, style, d_s_t, weights, wc_prev, cft,
+                       ucj, xl_override):
+        # mirrors train_d_step's internal key split so the seeded sample IS
+        # iteration 0's data (reference train_vtoonify_d.py:271-276)
+        vt_all = {**frozen, **trainable}
+        return synth.synth_train_batch(
+            jax.random.split(sub)[0], vt_all, cfg, parsing_sh, psp_params,
+            psp_cfg, latent_avg, directions, style, d_s_t, weights, wc_prev,
+            cft, ucj, xl_override=xl_override, aug_p=tcfg.aug_p,
+            aug_max_pad=tcfg.aug_max_pad,
+        )
+
+    synth_for_log = jax.jit(_synth_for_log)
     suffix = capability_suffix(args)
     t0 = time.time()
     for idx in range(args.start_iter, args.iter):
@@ -263,7 +305,10 @@ def main(argv=None):
             d_s = args.style_degree
         else:
             d_s = rng.randint(0, 6) / 5.0
-        weights = tuple([d_s] * 7 + ([0.0] if args.fix_color else [1.0]) * 11)
+        weights = tuple(
+            [d_s] * 7
+            + ([0.0] if args.fix_color else [1.0]) * (cfg.n_latent - 7)
+        )
         if args.fix_style or idx == 0:
             sel = np.full((args.batch,), args.style_id)
         else:
@@ -273,21 +318,40 @@ def main(argv=None):
         use_jitter = (idx > 0 and idx >= args.iter / 2.0
                       and not args.fix_color and not args.fix_style)
         key, sub = jax.random.split(key)
+        style_sh = shard_array_batch(style, mesh)
+        cft = jnp.asarray(idx / (args.iter / 2.0), jnp.float32)
+        if idx == args.start_iter:
+            glog.seed(
+                synth_for_log(
+                    state.trainable, sub, style_sh,
+                    jnp.asarray(d_s, jnp.float32), weights, state.wc_prev,
+                    cft, jnp.asarray(use_jitter), xl_override,
+                ),
+                d_s,
+            )
+        if args.profile:
+            tracer.before(idx)
         state, metrics = step_fn(
             state, frozen, parsing_sh, psp_params, psp_cfg, latent_avg,
             lpips_params, cfg, dcfg, tcfg, directions,
-            shard_array_batch(style, mesh),
+            style_sh,
             shard_array_batch(jnp.asarray(sel), mesh),
             jnp.asarray(d_s, jnp.float32), weights,
             jnp.asarray(max(idx / (args.iter / 2.0) - 1, 0), jnp.float32),
-            jnp.asarray(idx / (args.iter / 2.0), jnp.float32),
+            cft,
             jnp.asarray(use_jitter), sub, xl_override=xl_override,
         )
+        if args.profile:
+            tracer.after(idx, metrics)
         if (idx + 1) % max(args.log_every // 10, 1) == 0:
+            mlog.log(idx, metrics, d_s=float(d_s))
             m = {k: f"{float(v):.4f}" for k, v in metrics.items()}
             print(f"iter {idx}: {m} "
                   f"({(time.time() - t0) / (idx - args.start_iter + 1):.2f}"
                   " s/it)", flush=True)
+        if (idx == args.start_iter or (idx + 1) % args.log_every == 0
+                or (idx + 1) == args.iter):
+            glog.log(idx + 1, {**frozen, **state.ema}, d_s)
         if ((idx + 1) >= args.save_begin
                 and (idx + 1) % args.save_every == 0) or (idx + 1) == args.iter:
             name = (f"vtoonify{suffix}.ckpt" if (idx + 1) == args.iter

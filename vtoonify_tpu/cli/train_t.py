@@ -65,6 +65,9 @@ def build_parser():
     p.add_argument("--tp", type=int, default=1)
     p.add_argument("--multihost", action="store_true")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--profile", type=int, default=0, metavar="N",
+                   help="capture an XLA device trace of N steps (written to "
+                        "log/NAME/trace)")
     return p
 
 
@@ -89,7 +92,6 @@ def main(argv=None):
 
     enable_compilation_cache()
 
-    from vtoonify_tpu.models.psp_encoder import PSPEncoderConfig
     from vtoonify_tpu.models.vtoonify import (
         CondDiscriminatorConfig,
         VToonifyConfig,
@@ -98,6 +100,9 @@ def main(argv=None):
     )
     from vtoonify_tpu.models.lpips import load_lpips
     from vtoonify_tpu.parallel.mesh import make_mesh, shard_params
+    from vtoonify_tpu.train import synth
+    from vtoonify_tpu.train.logging import MetricsLogger, SampleGridLogger
+    from vtoonify_tpu.utils.profiling import StepTrace
     from vtoonify_tpu.train.steps import (
         TrainDConfig,
         init_pretrain_state,
@@ -127,6 +132,10 @@ def main(argv=None):
 
     mesh = make_mesh(tp=args.tp)
     os.makedirs(f"checkpoint/{args.name}", exist_ok=True)
+    log_dir = f"log/{args.name}"
+    mlog = MetricsLogger(log_dir)
+    tracer = StepTrace(os.path.join(log_dir, "trace"),
+                       args.start_iter + 1, args.profile)
 
     if args.pretrain:
         state = init_pretrain_state(vt_params, args.lr)
@@ -139,9 +148,14 @@ def main(argv=None):
         t0 = time.time()
         for idx in range(args.start_iter, args.iter):
             key, sub = jax.random.split(key)
+            if args.profile:
+                tracer.before(idx)
             state, metrics = step_fn(state, frozen, base_sh, parsing_sh, cfg,
                                      directions, args.batch, sub, lr=args.lr)
+            if args.profile:
+                tracer.after(idx, metrics)
             if (idx + 1) % max(args.log_every // 10, 1) == 0:
+                mlog.log(idx, metrics)
                 print(f"iter {idx}: emse {float(metrics['emse']):.4f}",
                       flush=True)
             if ((idx + 1) >= args.save_begin
@@ -168,10 +182,9 @@ def main(argv=None):
         c = w.shape[-1]
         fs["weight"] = (w * 0.01).at[1, 1, 0:c, :].add(jnp.eye(c))
 
-    psp_params, latent_avg = ckpt_util.load_reference_psp(
+    psp_params, latent_avg, psp_cfg = ckpt_util.load_reference_psp(
         args.style_encoder_path
     )
-    psp_cfg = PSPEncoderConfig()
 
     lpips_params, lpips_desc = load_lpips(
         args.vgg_path, args.lpips_lin_path,
@@ -199,18 +212,39 @@ def main(argv=None):
     step_fn = jax.jit(train_t_step,
                       static_argnames=("cfg", "dcfg", "tcfg", "psp_cfg",
                                        "batch"))
+    glog = SampleGridLogger(log_dir, cfg, fix_degree=True, use_degree=False)
+
+    def _synth_for_log(trainable, sub):
+        # mirrors train_t_step's internal key split (iteration 0's data)
+        vt_all = {**frozen, **trainable}
+        return synth.synth_train_t_batch(
+            jax.random.split(sub)[0], base_sh, cfg.generator, vt_all, cfg,
+            parsing_sh, psp_params, psp_cfg, latent_avg, directions,
+            args.batch, aug_p=tcfg.aug_p, aug_max_pad=tcfg.aug_max_pad,
+        )
+
+    synth_for_log = jax.jit(_synth_for_log)
     t0 = time.time()
     for idx in range(args.start_iter, args.iter):
         key, sub = jax.random.split(key)
+        if idx == args.start_iter:
+            glog.seed(synth_for_log(state.trainable, sub), 0.0)
+        if args.profile:
+            tracer.before(idx)
         state, metrics = step_fn(
             state, frozen, base_sh, parsing_sh, psp_params, psp_cfg,
             latent_avg, lpips_params, cfg, dcfg, tcfg, directions, args.batch,
             jnp.asarray(max(idx / (args.iter / 2.0) - 1, 0), jnp.float32),
             sub,
         )
+        if args.profile:
+            tracer.after(idx, metrics)
         if (idx + 1) % max(args.log_every // 10, 1) == 0:
+            mlog.log(idx, metrics)
             m = {k: f"{float(v):.4f}" for k, v in metrics.items()}
             print(f"iter {idx}: {m}", flush=True)
+        if (idx % args.log_every == 0 or (idx + 1) == args.iter):
+            glog.log(idx, {**frozen, **state.ema}, 0.0)
         if ((idx + 1) >= args.save_begin
                 and (idx + 1) % args.save_every == 0) or (idx + 1) == args.iter:
             name = ("vtoonify.ckpt" if (idx + 1) == args.iter

@@ -25,6 +25,7 @@ from vtoonify_tpu.pipeline import crop as crop_mod
 class VideoResult:
     frames_written: int
     crop_params: Optional[tuple]
+    stages: Optional[dict] = None  # StageTimer summary when profiling
 
 
 def iterate_video_frames(path: str):
@@ -49,7 +50,8 @@ def iterate_video_frames(path: str):
 class _AsyncWriter:
     """cv2.VideoWriter fed from a bounded queue on a worker thread."""
 
-    def __init__(self, path: str, fps: float, size_wh, maxsize: int = 8):
+    def __init__(self, path: str, fps: float, size_wh, maxsize: int = 8,
+                 timer=None):
         import cv2
 
         self._cv2 = cv2
@@ -59,16 +61,22 @@ class _AsyncWriter:
         self._q: queue.Queue = queue.Queue(maxsize=maxsize)
         self._thread = threading.Thread(target=self._run, daemon=True)
         self._count = 0
+        self._timer = timer
         self._thread.start()
 
     def _run(self):
+        import contextlib
+
         from vtoonify_tpu import native
 
         while True:
             item = self._q.get()
             if item is None:
                 break
-            self._writer.write(native.rgb_to_bgr(item))
+            ctx = (self._timer.stage("encode") if self._timer is not None
+                   else contextlib.nullcontext())
+            with ctx:
+                self._writer.write(native.rgb_to_bgr(item))
             self._count += 1
 
     def write(self, frame_rgb_u8: np.ndarray):
@@ -97,15 +105,22 @@ def toonify_video(
     s_w=None,
     parsing_maps: Optional[np.ndarray] = None,
     frame_limit: Optional[int] = None,
+    timer=None,
 ) -> VideoResult:
     """Stylize a video end to end (reference style_transfer.py video branch).
 
     First frame fixes the crop parameters and the style code for the whole
     video (style_transfer.py:113-150). `s_w` may be passed directly to skip
     alignment (hermetic path). `parsing_maps` (N, H, W, 19) overrides BiSeNet
-    (the --parsing_map_path capability).
+    (the --parsing_map_path capability). Pass a
+    `vtoonify_tpu.utils.profiling.StageTimer` as `timer` to get a
+    decode/preprocess/dispatch/fetch/encode breakdown in `result.stages`.
     """
-    import jax
+    import contextlib
+
+    def timed(name):
+        return (timer.stage(name) if timer is not None
+                else contextlib.nullcontext())
 
     crop_params = None
     writer = None
@@ -120,24 +135,32 @@ def toonify_video(
         nonlocal frames_done
         while in_flight and (block or len(in_flight) >= max_in_flight):
             dev_batch, count = in_flight.popleft()
-            host = np.asarray(dev_batch)  # blocks until TPU done
+            with timed("fetch"):
+                host = np.asarray(dev_batch)  # blocks until TPU done
             for k in range(count):
                 writer.write(host[k])
             frames_done += count
 
     def submit(frames):
         arr = np.stack(frames)
-        if parsing_maps is not None:
-            pm = parsing_maps[frame_idx - len(frames): frame_idx]
-            out = pipeline.process_batch_with_parsing(
-                arr, pm, s_w, style_degree
-            )
-        else:
-            out = pipeline.process_batch(arr, s_w, style_degree)
+        with timed("dispatch"):
+            if parsing_maps is not None:
+                pm = parsing_maps[frame_idx - len(frames): frame_idx]
+                out = pipeline.process_batch_with_parsing(
+                    arr, pm, s_w, style_degree
+                )
+            else:
+                out = pipeline.process_batch(arr, s_w, style_degree)
         in_flight.append((out, len(frames)))
         flush_ready(block=False)
 
-    for fps, frame in iterate_video_frames(in_path):
+    frame_iter = iterate_video_frames(in_path)
+    while True:
+        with timed("decode"):
+            item = next(frame_iter, None)
+        if item is None:
+            break
+        fps, frame = item
         if frame_limit is not None and frame_idx >= frame_limit:
             break
         if first:
@@ -147,7 +170,7 @@ def toonify_video(
                 )
             frame = crop_mod.preprocess_frame(frame, crop_params, scale_image)
             h, w = frame.shape[:2]
-            writer = _AsyncWriter(out_path, fps, (4 * w, 4 * h))
+            writer = _AsyncWriter(out_path, fps, (4 * w, 4 * h), timer=timer)
             if crop_out_path:
                 crop_writer = _AsyncWriter(crop_out_path, fps, (w, h))
             if s_w is None:
@@ -155,7 +178,9 @@ def toonify_video(
                 s_w = pipeline.compute_style(aligned, color_transfer)
             first = False
         else:
-            frame = crop_mod.preprocess_frame(frame, crop_params, scale_image)
+            with timed("preprocess"):
+                frame = crop_mod.preprocess_frame(frame, crop_params,
+                                                  scale_image)
 
         if crop_writer is not None:
             crop_writer.write(frame)
@@ -172,4 +197,7 @@ def toonify_video(
     written = writer.close() if writer else 0
     if crop_writer is not None:
         crop_writer.close()
-    return VideoResult(frames_written=written, crop_params=crop_params)
+    return VideoResult(
+        frames_written=written, crop_params=crop_params,
+        stages=timer.summary() if timer is not None else None,
+    )

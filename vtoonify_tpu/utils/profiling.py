@@ -26,6 +26,35 @@ def annotate(name: str):
     return jax.profiler.TraceAnnotation(name)
 
 
+class StepTrace:
+    """Device-trace a contiguous window of training steps (--profile N).
+
+    Call `before(idx)` ahead of the step and `after(idx, result)` behind it;
+    the window [first_step, first_step + n_steps) is captured to
+    `<logdir>` (TensorBoard/Perfetto format)."""
+
+    def __init__(self, logdir: str, first_step: int, n_steps: int):
+        self.logdir = logdir
+        self.first = first_step
+        self.last = first_step + n_steps - 1
+        self._active = False
+
+    def before(self, step: int):
+        if step == self.first:
+            jax.profiler.start_trace(self.logdir)
+            self._active = True
+
+    def after(self, step: int, *results):
+        if not self._active:
+            return
+        if step == self.last:
+            for r in results:
+                jax.block_until_ready(r)
+            jax.profiler.stop_trace()
+            self._active = False
+            print(f"device trace written to {self.logdir}", flush=True)
+
+
 class StageTimer:
     """Accumulating wall-clock stage timer for host-side pipeline phases
     (decode / preprocess / device / encode)."""
