@@ -37,7 +37,10 @@ def test_load_reference_vtoonify_and_faceparsing(tmp_path):
     np.save(str(tmp_path / "directions.npy"),
             rng.randn(4, cfg.n_latent, 512).astype(np.float32))
 
-    vt_params = ckpt_util.load_reference_vtoonify(vt_path, cfg)
+    # config inference from checkpoint shapes matches the true config
+    vt_params, inferred = ckpt_util.load_reference_vtoonify(vt_path)
+    assert inferred == cfg
+    vt_params, _ = ckpt_util.load_reference_vtoonify(vt_path, cfg)
     bn_params = ckpt_util.load_reference_faceparsing(bn_path)
     loaded_bank, names = ckpt_util.load_exstyle_bank(
         str(tmp_path / "exstyle_code.npy"))

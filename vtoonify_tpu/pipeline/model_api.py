@@ -96,30 +96,31 @@ class Model:
         self._parsing = ckpt_util.load_reference_faceparsing(
             os.path.join(self.checkpoint_root, "faceparsing.pth")
         )
-        self._psp, self._latent_avg = ckpt_util.load_reference_psp(
-            os.path.join(self.checkpoint_root, "encoder.pt")
+        self._psp, self._latent_avg, self._psp_cfg = (
+            ckpt_util.load_reference_psp(
+                os.path.join(self.checkpoint_root, "encoder.pt")
+            )
         )
 
     # -- model loading --------------------------------------------------------
 
     def load_model(self, style_type: str):
         """Build (and cache) the pipeline for a registry style."""
-        from vtoonify_tpu.models.vtoonify import VToonifyConfig
         from vtoonify_tpu.pipeline.toonify import ToonifyPipeline
 
         if style_type in self._pipelines:
             return self._pipelines[style_type]
         rel, style_id = STYLE_TYPES[style_type]
         ckpt_path = os.path.join(self.checkpoint_root, rel)
-        cfg = VToonifyConfig(backbone="dualstylegan")
-        vt_params = self._ckpt.load_reference_vtoonify(ckpt_path, cfg)
+        vt_params, cfg = self._ckpt.load_reference_vtoonify(ckpt_path)
         bank, names = self._ckpt.load_exstyle_bank(
             os.path.join(os.path.dirname(ckpt_path), "exstyle_code.npy")
         )
         exstyle = bank[names[style_id]]
         pipe = ToonifyPipeline(
             vt_params, cfg, self._parsing, psp_params=self._psp,
-            latent_avg=self._latent_avg, exstyle=exstyle, dtype=self.dtype,
+            psp_cfg=self._psp_cfg, latent_avg=self._latent_avg,
+            exstyle=exstyle, dtype=self.dtype,
         )
         self._pipelines[style_type] = pipe
         return pipe

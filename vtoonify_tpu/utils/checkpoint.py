@@ -64,13 +64,61 @@ def _flat(sd):
     return flatten_torch_state(sd)
 
 
-def load_reference_vtoonify(path: str, cfg):
-    """vtoonify_*.pt ({'g_ema': state_dict}) → params."""
+# channels[res] = _CH_BASE[res] * channel_multiplier for res > 32
+# (reference model/stylegan/model.py Generator.channels)
+_CH_BASE = {64: 256, 128: 128, 256: 64, 512: 32, 1024: 16}
+
+
+def infer_vtoonify_config(sd):
+    """Derive the VToonifyConfig from a reference state_dict's shapes.
+
+    The reference hardcodes 256→1024 in its CLIs; inferring (backbone,
+    out_size, in_size, channel_multiplier, num_res_layers) from the
+    checkpoint lets any exported model load without flags. Signals (verified
+    against reference model/vtoonify.py:128-205 across configs):
+      * backbone: top-level `res.*` AdaResBlocks exist only for dualstylegan
+      * out_size: the synthesis trunk has 2*(log2(out)-2) StyledConvs
+      * channel_multiplier: width of the last StyledConv vs the base table
+      * in_size: #encoder modules = log2(in) - 2
+      * num_res_layers: #VToonifyResBlocks in the penultimate encoder module
+    """
+    import re
+
+    from vtoonify_tpu.models.vtoonify import VToonifyConfig
+
+    backbone = ("dualstylegan" if any(k.startswith("res.") for k in sd)
+                else "toonify")
+    pre = ("generator.generator.convs."
+           if backbone == "dualstylegan" else "generator.convs.")
+    conv_ids = {int(m.group(1)) for k in sd
+                for m in [re.match(re.escape(pre) + r"(\d+)\.", k)] if m}
+    if not conv_ids:
+        raise ValueError("not a VToonify checkpoint: no synthesis convs")
+    out_size = 2 ** (len(conv_ids) // 2 + 2)
+    last_w = sd[f"{pre}{max(conv_ids)}.conv.weight"]
+    cm = (int(last_w.shape[1]) // _CH_BASE[out_size]
+          if out_size in _CH_BASE else 2)
+    enc_mods = {int(k.split(".")[1]) for k in sd if k.startswith("encoder.")}
+    in_size = 2 ** (len(enc_mods) + 2)
+    res_stage = max(enc_mods) - 1
+    num_res_layers = len(
+        {k.split(".")[2] for k in sd if k.startswith(f"encoder.{res_stage}.")}
+    )
+    return VToonifyConfig(in_size=in_size, out_size=out_size,
+                          channel_multiplier=cm,
+                          num_res_layers=num_res_layers, backbone=backbone)
+
+
+def load_reference_vtoonify(path: str, cfg=None):
+    """vtoonify_*.pt ({'g_ema': state_dict}) → (params, cfg); the config is
+    inferred from the checkpoint when not given."""
     from vtoonify_tpu.convert.torch_import import convert_vtoonify
 
     ckpt = _torch_load(path)
-    sd = ckpt.get("g_ema", ckpt)
-    return convert_vtoonify(_flat(sd), cfg)
+    sd = _flat(ckpt.get("g_ema", ckpt))
+    if cfg is None:
+        cfg = infer_vtoonify_config(sd)
+    return convert_vtoonify(sd, cfg), cfg
 
 
 def load_reference_dualstylegan(path: str, cfg):
@@ -98,16 +146,22 @@ def load_reference_faceparsing(path: str):
 
 def load_reference_psp(path: str, cfg=None):
     """encoder.pt (pSp ckpt with state_dict + latent_avg) → (params,
-    latent_avg)."""
+    latent_avg, cfg). n_styles is inferred from the checkpoint when cfg is
+    None (real checkpoints carry 18 style heads; tiny exports fewer)."""
     from vtoonify_tpu.convert.torch_import import load_psp_standalone
     from vtoonify_tpu.models.psp_encoder import PSPEncoderConfig
 
     ckpt = _torch_load(path)
     sd = _flat(ckpt["state_dict"])
-    return load_psp_standalone(
+    if cfg is None:
+        n_styles = len({k.split(".")[2] for k in sd
+                        if k.startswith("encoder.styles.")})
+        cfg = PSPEncoderConfig(n_styles=n_styles or 18)
+    params, latent_avg = load_psp_standalone(
         {"state_dict": sd, "latent_avg": np.asarray(ckpt["latent_avg"])},
-        cfg or PSPEncoderConfig(),
+        cfg,
     )
+    return params, latent_avg, cfg
 
 
 def load_exstyle_bank(path: str):
