@@ -1,15 +1,25 @@
 """Benchmark: frames/sec/chip for 1024px video toonification.
 
-Runs the flagship per-frame graph (BiSeNet parsing + VToonify-D synthesis,
-256px crop → 1024px output, bf16) and prints ONE JSON line. `vs_baseline` is
-measured fps / 60 (the BASELINE.json north-star target of ≥60 fps per v5e
-chip; the reference publishes no fps numbers — BASELINE.md).
+Prints ONE JSON line. Two numbers are reported (VERDICT r1 #2):
 
-Methodology: the graph is chained REPS times on-device with a data dependency
-and reduced to a scalar, so the measurement is pure accelerator compute —
-per-call dispatch/fetch overhead (which in tunneled dev environments can be
-tens of ms and is not representative of production serving) is measured with a
-null dispatch and subtracted.
+  * value / device_fps — pure accelerator compute for the flagship per-frame
+    graph (BiSeNet parsing + VToonify-D synthesis, 256px crop → 1024px, bf16):
+    the graph is chained REPS times on-device with a data dependency and
+    reduced to a scalar, so per-call dispatch/fetch overhead (tens of ms in
+    tunneled dev environments, not representative of production serving) is
+    measured with a null dispatch and subtracted.
+  * e2e_fps — sustained wall-clock throughput of the REAL product loop
+    (decode → H2D → compute → D2H uint8 4H×4W frames → encode) through
+    pipeline.video.toonify_video on a synthetic mp4, with a per-stage
+    breakdown. In this dev harness the D2H tunnel runs ~17 MB/s, so e2e is
+    transfer-bound here; the breakdown makes that attribution explicit.
+
+`vs_baseline` is device fps / 60 (BASELINE.json north-star of ≥60 fps per
+v5e chip; the reference publishes no fps numbers — BASELINE.md).
+
+Env knobs: BENCH_BATCH (16), BENCH_REPS (2), BENCH_E2E (1; 0 skips the video
+loop), BENCH_E2E_FRAMES (48), BENCH_MFU (0; 1 adds XLA cost analysis —
+FLOPs/frame and achieved TFLOPs vs the 197 TFLOP/s bf16 v5e peak).
 """
 
 import json
@@ -20,6 +30,8 @@ import numpy as np
 
 import jax
 import jax.numpy as jnp
+
+V5E_PEAK_BF16_TFLOPS = 197.0
 
 
 def _median_time(fn, *args, n=6):
@@ -32,17 +44,10 @@ def _median_time(fn, *args, n=6):
     return float(np.median(ts))
 
 
-def main():
-    from vtoonify_tpu.utils.cache import enable_compilation_cache
-
-    enable_compilation_cache()
-
+def _build_flagship(batch):
     from vtoonify_tpu.models.bisenet import init_bisenet
     from vtoonify_tpu.models.vtoonify import VToonifyConfig, init_vtoonify
     from vtoonify_tpu.pipeline.toonify import frame_graph
-
-    batch = int(os.environ.get("BENCH_BATCH", "16"))
-    reps = int(os.environ.get("BENCH_REPS", "2"))
 
     cfg = VToonifyConfig()  # 256 → 1024, DualStyleGAN backbone
     key = jax.random.PRNGKey(0)
@@ -65,6 +70,14 @@ def main():
     )
     s_w = jnp.asarray(rng.randn(1, cfg.n_latent, 512).astype(np.float32) * 0.3)
     d_s = jnp.asarray(0.5, jnp.float32)
+    return cfg, vt_params, parsing_params, frame_graph, frames, s_w, d_s
+
+
+def measure_device_fps(batch, reps):
+    cfg, vt_params, parsing_params, frame_graph, frames, s_w, d_s = (
+        _build_flagship(batch)
+    )
+    dtype = jnp.bfloat16
 
     null = jax.jit(lambda a: jnp.sum(a.astype(jnp.uint32)))
     overhead = _median_time(null, frames)
@@ -81,20 +94,99 @@ def main():
 
     total = _median_time(jax.jit(chained), frames, s_w, d_s)
     per_graph = max(total - overhead, 1e-9) / reps
-    fps = batch / per_graph
-    p50_ms = per_graph / batch * 1000
+    return batch / per_graph, per_graph / batch * 1000
 
-    print(
-        json.dumps(
-            {
-                "metric": "frames/sec/chip @1024px toonify "
-                          f"(batch {batch}, p50 {p50_ms:.1f} ms/frame)",
-                "value": round(float(fps), 2),
-                "unit": "fps",
-                "vs_baseline": round(float(fps) / 60.0, 3),
-            }
-        )
+
+def measure_flops_per_frame(batch):
+    """XLA cost analysis of the compiled flagship graph (VERDICT r1 #7)."""
+    cfg, vt_params, parsing_params, frame_graph, frames, s_w, d_s = (
+        _build_flagship(batch)
     )
+    fn = jax.jit(lambda f, s, d: frame_graph(vt_params, cfg, parsing_params,
+                                             f, s, d, dtype=jnp.bfloat16))
+    cost = fn.lower(frames, s_w, d_s).compile().cost_analysis()
+    if isinstance(cost, (list, tuple)):
+        cost = cost[0]
+    return float(cost.get("flops", 0.0)) / batch
+
+
+def measure_e2e_fps(batch, n_frames, size=256):
+    """The real serving loop on a synthetic clip, with stage breakdown."""
+    import cv2
+
+    from vtoonify_tpu.models.bisenet import init_bisenet
+    from vtoonify_tpu.models.vtoonify import VToonifyConfig, init_vtoonify
+    from vtoonify_tpu.pipeline.toonify import ToonifyPipeline
+    from vtoonify_tpu.pipeline.video import toonify_video
+    from vtoonify_tpu.utils.profiling import StageTimer
+
+    cfg = VToonifyConfig()
+    k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+    pipe = ToonifyPipeline(init_vtoonify(k1, cfg), cfg, init_bisenet(k2))
+    rng = np.random.RandomState(1)
+    s_w = jnp.asarray(rng.randn(1, cfg.n_latent, 512).astype(np.float32) * 0.3)
+
+    in_path = "/tmp/bench_e2e_in.mp4"
+    out_path = "/tmp/bench_e2e_out.mp4"
+    wr = cv2.VideoWriter(in_path, cv2.VideoWriter_fourcc(*"mp4v"), 30,
+                         (size, size))
+    for _ in range(n_frames):
+        wr.write(rng.randint(0, 256, (size, size, 3), np.uint8))
+    wr.release()
+
+    # warm the compile outside the timed window
+    warm = pipe.process_batch(
+        rng.randint(0, 256, (batch, size, size, 3), np.uint8), s_w, 0.5
+    )
+    np.asarray(warm)
+
+    timer = StageTimer()
+    t0 = time.perf_counter()
+    result = toonify_video(pipe, in_path, out_path, s_w=s_w,
+                           scale_image=False, batch_size=batch,
+                           timer=timer)
+    wall = time.perf_counter() - t0
+    stages = {k: round(v["total_s"], 3) for k, v in result.stages.items()}
+    return result.frames_written / wall, stages
+
+
+def main():
+    from vtoonify_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    batch = int(os.environ.get("BENCH_BATCH", "16"))
+    reps = int(os.environ.get("BENCH_REPS", "2"))
+    run_e2e = os.environ.get("BENCH_E2E", "1") != "0"
+    e2e_frames = int(os.environ.get("BENCH_E2E_FRAMES", "48"))
+    run_mfu = os.environ.get("BENCH_MFU", "0") == "1"
+
+    fps, p50_ms = measure_device_fps(batch, reps)
+    rec = {
+        "metric": "frames/sec/chip @1024px toonify "
+                  f"(batch {batch}, p50 {p50_ms:.1f} ms/frame)",
+        "value": round(float(fps), 2),
+        "unit": "fps",
+        "vs_baseline": round(float(fps) / 60.0, 3),
+    }
+
+    if run_mfu:
+        flops = measure_flops_per_frame(batch)
+        rec["gflops_per_frame"] = round(flops / 1e9, 2)
+        rec["achieved_tflops"] = round(flops * fps / 1e12, 2)
+        rec["mfu_vs_v5e_bf16_peak"] = round(
+            flops * fps / 1e12 / V5E_PEAK_BF16_TFLOPS, 4
+        )
+
+    if run_e2e:
+        e2e_fps, stages = measure_e2e_fps(min(batch, 8), e2e_frames)
+        rec["e2e_fps"] = round(float(e2e_fps), 2)
+        rec["e2e_stages_s"] = stages
+        rec["e2e_note"] = ("end-to-end decode->device->D2H->encode on this "
+                           "harness's ~17MB/s D2H tunnel; transfer-bound "
+                           "here, see PERF.md")
+
+    print(json.dumps(rec))
 
 
 if __name__ == "__main__":
