@@ -97,8 +97,10 @@ class ToonifyPipeline:
         mesh=None,  # optional jax.sharding Mesh: shard the frame axis over 'dp'
         size_bucket: Optional[int] = None,  # round H,W up to a multiple and
         # crop the output — one compiled program per bucket instead of per
-        # exact crop size (reflect padding; boundary pixels may differ within
-        # the conv receptive field)
+        # exact crop size. NOT bit-exact: BiSeNet's global average pools and
+        # Fusion's instance norms see the reflected padding, measured ≤1 uint8
+        # LSB over the interior with larger (≤~12 LSB) deviations confined to
+        # the output band nearest the padded edge (tests/test_bucketing.py)
     ):
         self.vt_cfg = vt_cfg
         self.dtype = dtype
