@@ -1,0 +1,106 @@
+"""RAFT eval-harness data plumbing: flow-file IO, input padder, and the
+Sintel/KITTI-layout validators (reference model/raft/evaluate.py +
+frame_utils.py)."""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from vtoonify_tpu.models.raft_data import (
+    InputPadder,
+    iter_kitti,
+    iter_sintel,
+    read_flo,
+    read_kitti_flow,
+    validate_kitti,
+    validate_sintel,
+    write_flo,
+    write_kitti_flow,
+)
+
+
+def test_flo_roundtrip(tmp_path):
+    rng = np.random.RandomState(70)
+    flow = rng.randn(17, 23, 2).astype(np.float32) * 5
+    path = str(tmp_path / "a.flo")
+    write_flo(path, flow)
+    np.testing.assert_array_equal(read_flo(path), flow)
+    with pytest.raises(ValueError, match="magic"):
+        bad = str(tmp_path / "bad.flo")
+        open(bad, "wb").write(b"\x00" * 32)
+        read_flo(bad)
+
+
+def test_kitti_flow_roundtrip(tmp_path):
+    rng = np.random.RandomState(71)
+    flow = np.round(rng.randn(16, 20, 2).astype(np.float32) * 10 * 64) / 64
+    valid = rng.rand(16, 20) > 0.3
+    path = str(tmp_path / "f.png")
+    write_kitti_flow(path, flow, valid)
+    flow2, valid2 = read_kitti_flow(path)
+    np.testing.assert_allclose(flow2, flow, atol=1 / 64)
+    np.testing.assert_array_equal(valid2, valid)
+
+
+@pytest.mark.parametrize("mode", ["sintel", "kitti"])
+def test_input_padder(mode):
+    x = jnp.asarray(np.random.RandomState(72).rand(1, 43, 61, 3))
+    padder = InputPadder(x.shape, mode=mode)
+    y = padder.pad(x)
+    assert y.shape[1] % 8 == 0 and y.shape[2] % 8 == 0
+    np.testing.assert_array_equal(np.asarray(padder.unpad(y)), np.asarray(x))
+
+
+def _build_mini_dataset(root, kind):
+    import cv2
+
+    rng = np.random.RandomState(73)
+    if kind == "sintel":
+        img_dir = os.path.join(root, "training", "clean", "scene_1")
+        flow_dir = os.path.join(root, "training", "flow", "scene_1")
+        os.makedirs(img_dir), os.makedirs(flow_dir)
+        for i in (1, 2, 3):
+            cv2.imwrite(os.path.join(img_dir, f"frame_{i:04d}.png"),
+                        rng.randint(0, 255, (40, 56, 3), np.uint8))
+        for i in (1, 2):
+            write_flo(os.path.join(flow_dir, f"frame_{i:04d}.flo"),
+                      np.ones((40, 56, 2), np.float32))
+    else:
+        img_dir = os.path.join(root, "training", "image_2")
+        flow_dir = os.path.join(root, "training", "flow_occ")
+        os.makedirs(img_dir), os.makedirs(flow_dir)
+        for i in ("000000", "000001"):
+            for t in ("10", "11"):
+                cv2.imwrite(os.path.join(img_dir, f"{i}_{t}.png"),
+                            rng.randint(0, 255, (40, 56, 3), np.uint8))
+            write_kitti_flow(os.path.join(flow_dir, f"{i}_10.png"),
+                             np.ones((40, 56, 2), np.float32))
+
+
+def test_dataset_walkers(tmp_path):
+    _build_mini_dataset(str(tmp_path / "sintel"), "sintel")
+    _build_mini_dataset(str(tmp_path / "kitti"), "kitti")
+    s = list(iter_sintel(str(tmp_path / "sintel")))
+    assert len(s) == 2  # 3 frames → 2 consecutive pairs
+    assert s[0][0].shape == (40, 56, 3) and s[0][2].shape == (40, 56, 2)
+    k = list(iter_kitti(str(tmp_path / "kitti")))
+    assert len(k) == 2
+    assert k[0][3].dtype == bool
+
+
+@pytest.mark.slow
+def test_validate_drivers_run(tmp_path):
+    from vtoonify_tpu.models.raft import init_raft
+
+    _build_mini_dataset(str(tmp_path / "sintel"), "sintel")
+    _build_mini_dataset(str(tmp_path / "kitti"), "kitti")
+    params = init_raft(jax.random.PRNGKey(0))
+    r1 = validate_sintel(params, str(tmp_path / "sintel"), iters=2)
+    r2 = validate_kitti(params, str(tmp_path / "kitti"), iters=2)
+    for r in (r1, r2):
+        assert set(r) == {"epe", "1px", "3px", "5px"}
+        assert np.isfinite(r["epe"])
