@@ -104,3 +104,78 @@ def test_validate_drivers_run(tmp_path):
     for r in (r1, r2):
         assert set(r) == {"epe", "1px", "3px", "5px"}
         assert np.isfinite(r["epe"])
+
+
+# --- flow color coding (models/raft_viz.py vs the vendored visualizer) ------
+
+
+def _ref_flow_viz():
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "ref_flow_viz",
+        "/root/reference/model/raft/core/utils/flow_viz.py",
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_flow_to_image_parity():
+    from vtoonify_tpu.models.raft_viz import flow_to_image
+
+    ref = _ref_flow_viz()
+    rng = np.random.RandomState(72)
+    for scale in (0.3, 5.0, 200.0):
+        flow = (rng.randn(21, 33, 2) * scale).astype(np.float32)
+        np.testing.assert_array_equal(
+            flow_to_image(flow), ref.flow_to_image(flow)
+        )
+        np.testing.assert_array_equal(
+            flow_to_image(flow, bgr=True),
+            ref.flow_to_image(flow, convert_to_bgr=True),
+        )
+    # clip branch + zero flow (white center)
+    flow = (rng.randn(9, 9, 2) * 10).astype(np.float32)
+    np.testing.assert_array_equal(
+        flow_to_image(flow, clip_flow=3.0),
+        ref.flow_to_image(flow, clip_flow=3.0),
+    )
+    white = flow_to_image(np.zeros((5, 5, 2), np.float32))
+    assert (white == 255).all()
+
+
+def test_colorize_out_of_range_parity():
+    from vtoonify_tpu.models.raft_viz import colorize_flow_uv, make_colorwheel
+
+    ref = _ref_flow_viz()
+    np.testing.assert_array_equal(make_colorwheel(), ref.make_colorwheel())
+    rng = np.random.RandomState(73)
+    u = rng.randn(15, 17) * 2.0  # radii straddle 1 → both branches exercised
+    v = rng.randn(15, 17) * 2.0
+    np.testing.assert_array_equal(
+        colorize_flow_uv(u, v), ref.flow_uv_to_colors(u, v)
+    )
+
+
+def test_demo_directory(tmp_path):
+    from PIL import Image
+
+    from vtoonify_tpu.models.raft import init_raft
+    from vtoonify_tpu.models.raft_viz import demo_directory, list_image_pairs
+
+    frames_dir = tmp_path / "frames"
+    frames_dir.mkdir()
+    rng = np.random.RandomState(74)
+    for i in range(3):
+        Image.fromarray(
+            rng.randint(0, 256, (44, 36, 3), np.uint8)
+        ).save(frames_dir / f"f{i}.png")
+
+    assert len(list_image_pairs(str(frames_dir))) == 2
+    params = init_raft(jax.random.PRNGKey(1))
+    out = demo_directory(params, str(frames_dir), str(tmp_path / "viz"),
+                         iters=2)
+    assert len(out) == 2
+    stack = np.asarray(Image.open(out[0]))
+    assert stack.shape == (88, 36, 3)  # [frame; flow-viz] vertical stack
