@@ -297,3 +297,58 @@ def test_train_d_step_runs(tiny_bundle):
         0.0,
     )
     assert d_delta > 0
+
+
+def test_train_steps_bf16_mixed_precision(tiny_bundle):
+    """compute_dtype='bfloat16' (--bf16): network forwards run in bf16 while
+    master weights, optimizer state and loss arithmetic stay float32. The
+    bf16 pretrain loss must track the f32 loss on the same state/batch, and
+    updated parameters must remain float32."""
+    vt_params, parsing_params, directions, styles = tiny_bundle
+    key = jax.random.PRNGKey(63)
+    ks = jax.random.split(key, 4)
+    style2 = jnp.broadcast_to(styles[0:1], (2,) + styles.shape[1:])
+
+    state = init_pretrain_state(vt_params)
+    _, frozen_pre = split_trainable(vt_params, pretrain=True)
+    step = jax.jit(pretrain_step,
+                   static_argnames=("cfg", "lr", "compute_dtype"))
+    _, m32 = step(state, frozen_pre, parsing_params, TINY, directions,
+                  style2, jnp.asarray(0.5), ks[0])
+    s16, m16 = step(state, frozen_pre, parsing_params, TINY, directions,
+                    style2, jnp.asarray(0.5), ks[0],
+                    compute_dtype="bfloat16")
+    l32, l16 = float(m32["emse"]), float(m16["emse"])
+    assert np.isfinite(l16)
+    assert abs(l16 - l32) / abs(l32) < 0.1, (l16, l32)
+    for leaf in jax.tree_util.tree_leaves(s16.encoder):
+        assert leaf.dtype == jnp.float32
+
+    dcfg = CondDiscriminatorConfig(size=64, channel_multiplier=1,
+                                   use_condition=True, style_num=3)
+    d_params = init_cond_discriminator(ks[1], dcfg)
+    psp_cfg = PSPEncoderConfig(n_styles=TINY.n_latent)
+    psp_params = init_psp_encoder(ks[2], psp_cfg)
+    lpips_params = init_lpips(jax.random.PRNGKey(64))
+    tcfg = TrainDConfig(crop_size=96, lpips_size=64, aug_max_pad=80,
+                        compute_dtype="bfloat16")
+    _, frozen = split_trainable(vt_params, pretrain=False)
+    dstate = init_train_d_state(vt_params, d_params, batch=2, cfg=TINY,
+                                tcfg=tcfg)
+    dstep = jax.jit(train_d_step,
+                    static_argnames=("cfg", "dcfg", "tcfg", "psp_cfg"))
+    style_ind = jnp.array([0, 2])
+    dstate2, metrics = dstep(
+        dstate, frozen, parsing_params, psp_params, psp_cfg, None,
+        lpips_params, TINY, dcfg, tcfg, directions, styles[style_ind],
+        style_ind, jnp.asarray(0.6),
+        tuple([0.6] * 7 + [1.0] * (TINY.n_latent - 7)),
+        jnp.asarray(0.0), jnp.asarray(0.5), jnp.asarray(False), ks[3],
+    )
+    for k, v in metrics.items():
+        assert np.isfinite(float(v)), k
+        assert jnp.asarray(v).dtype == jnp.float32, k
+    for leaf in jax.tree_util.tree_leaves(
+        (dstate2.trainable, dstate2.d_params, dstate2.ema)
+    ):
+        assert leaf.dtype == jnp.float32

@@ -76,6 +76,10 @@ def build_parser():
     p.add_argument("--tiny", action="store_true",
                    help="32->128 debug model config (hermetic smoke tests "
                         "only; checkpoints must match)")
+    p.add_argument("--bf16", action="store_true",
+                   help="run the student/D/LPIPS forwards in bfloat16 "
+                        "(float32 master weights, optimizer state and loss "
+                        "arithmetic) — halves activation HBM, MXU-native")
     return p
 
 
@@ -186,7 +190,8 @@ def main(argv=None):
         _, frozen = split_trainable(vt_params, pretrain=True)
         frozen = shard_params(frozen, mesh, tp=args.tp > 1)
         parsing_sh = shard_params(parsing_params, mesh)
-        step_fn = jax.jit(pretrain_step, static_argnames=("cfg", "lr"))
+        step_fn = jax.jit(pretrain_step,
+                          static_argnames=("cfg", "lr", "compute_dtype"))
         t0 = time.time()
         for idx in range(args.start_iter, args.iter):
             # d_s schedule (train_vtoonify_d.py:108-112)
@@ -205,6 +210,7 @@ def main(argv=None):
             state, metrics = step_fn(
                 state, frozen, parsing_sh, cfg, directions, style,
                 jnp.asarray(d_s, jnp.float32), sub, lr=args.lr,
+                compute_dtype="bfloat16" if args.bf16 else None,
             )
             if args.profile:
                 tracer.after(idx, metrics)
@@ -263,6 +269,7 @@ def main(argv=None):
         adv_loss=args.adv_loss, grec_loss=args.grec_loss,
         perc_loss=args.perc_loss, tmp_loss=args.tmp_loss,
         msk_loss=args.msk_loss, lr=args.lr,
+        compute_dtype="bfloat16" if args.bf16 else None,
         **({"crop_size": 96, "lpips_size": 64, "aug_max_pad": 40}
            if args.tiny else {}),
     )

@@ -68,6 +68,10 @@ def build_parser():
     p.add_argument("--profile", type=int, default=0, metavar="N",
                    help="capture an XLA device trace of N steps (written to "
                         "log/NAME/trace)")
+    p.add_argument("--bf16", action="store_true",
+                   help="run the student/D/LPIPS forwards in bfloat16 "
+                        "(float32 master weights, optimizer state and loss "
+                        "arithmetic) — halves activation HBM, MXU-native")
     return p
 
 
@@ -144,14 +148,18 @@ def main(argv=None):
         base_sh = shard_params(base_params, mesh, tp=args.tp > 1)
         parsing_sh = shard_params(parsing_params, mesh)
         step_fn = jax.jit(pretrain_t_step,
-                          static_argnames=("cfg", "batch", "lr"))
+                          static_argnames=("cfg", "batch", "lr",
+                                           "compute_dtype"))
         t0 = time.time()
         for idx in range(args.start_iter, args.iter):
             key, sub = jax.random.split(key)
             if args.profile:
                 tracer.before(idx)
-            state, metrics = step_fn(state, frozen, base_sh, parsing_sh, cfg,
-                                     directions, args.batch, sub, lr=args.lr)
+            state, metrics = step_fn(
+                state, frozen, base_sh, parsing_sh, cfg, directions,
+                args.batch, sub, lr=args.lr,
+                compute_dtype="bfloat16" if args.bf16 else None,
+            )
             if args.profile:
                 tracer.after(idx, metrics)
             if (idx + 1) % max(args.log_every // 10, 1) == 0:
@@ -197,7 +205,8 @@ def main(argv=None):
     d_params = init_cond_discriminator(kd, dcfg)
     tcfg = TrainDConfig(adv_loss=args.adv_loss, grec_loss=args.grec_loss,
                         perc_loss=args.perc_loss, tmp_loss=args.tmp_loss,
-                        lr=args.lr)
+                        lr=args.lr,
+                        compute_dtype="bfloat16" if args.bf16 else None)
 
     _, frozen = split_trainable(vt_params, pretrain=False)
     state = init_train_t_state(vt_params, d_params, tcfg)

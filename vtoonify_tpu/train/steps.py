@@ -41,6 +41,34 @@ def make_optimizer(lr: float = 1e-4):
     return optax.adam(lr, b1=ADAM_BETA1, b2=ADAM_BETA2)
 
 
+def _mp_cast(compute_dtype):
+    """Mixed-precision helpers: (castp, up).
+
+    `castp` casts the float leaves of a pytree/array to the compute dtype
+    (identity when compute_dtype is None); `up` casts them back to float32.
+    Master weights, optimizer state and all loss arithmetic stay float32 —
+    only the network forwards (and their rematerialized backward replays) run
+    in the low-precision dtype, so gradients flow through the casts back to
+    the float32 parameters. bfloat16 halves activation HBM and runs the convs
+    MXU-native; the reference trains in float32 (torch default), so this is
+    opt-in (TrainDConfig.compute_dtype / --bf16).
+    """
+    if compute_dtype is None:
+        return (lambda t: t), (lambda t: t)
+    dt = jnp.dtype(compute_dtype)
+
+    def _to(dtype):
+        def cast(t):
+            return jax.tree_util.tree_map(
+                lambda a: a.astype(dtype)
+                if jnp.issubdtype(jnp.asarray(a).dtype, jnp.floating) else a,
+                t,
+            )
+        return cast
+
+    return _to(dt), _to(jnp.float32)
+
+
 class PretrainState(NamedTuple):
     encoder: dict          # trainable encoder params
     ema_encoder: dict
@@ -86,6 +114,7 @@ def pretrain_step(
     d_s,
     key,
     lr: float = 1e-4,
+    compute_dtype: Optional[str] = None,
 ):
     """reference pretrain() body (train_vtoonify_d.py:99-151)."""
     opt = make_optimizer(lr)
@@ -93,14 +122,19 @@ def pretrain_step(
         key, {**frozen, "encoder": state.encoder}, cfg, parsing_params,
         directions, style, d_s,
     )
+    castp, up = _mp_cast(compute_dtype)
+    frozen_c = castp(frozen)
+    inp_c = castp(batch["real_input"])
+    style_c = castp(style)
+    d_s_c = castp(d_s)
 
     def loss_fn(trainable):
-        params = {**frozen, **trainable}
+        params = {**frozen_c, **castp(trainable)}
         fake_feat, fake_skip = vtoonify_apply(
-            params, cfg, batch["real_input"], style, d_s, return_feat=True
+            params, cfg, inp_c, style_c, d_s_c, return_feat=True
         )
-        return mse_loss(fake_feat, batch["real_feat"]) + mse_loss(
-            fake_skip, batch["real_skip"]
+        return mse_loss(up(fake_feat), batch["real_feat"]) + mse_loss(
+            up(fake_skip), batch["real_skip"]
         )
 
     trainable = {"encoder": state.encoder}
@@ -128,6 +162,10 @@ class TrainDConfig(NamedTuple):
     remat: bool = True          # rematerialize G forwards + LPIPS (trades
     # FLOPs for HBM — the three full-res G forwards per iteration would
     # otherwise exceed one chip's HBM at the 1024px production config)
+    compute_dtype: Optional[str] = None  # e.g. "bfloat16": run the student/D/
+    # LPIPS forwards in low precision with float32 master weights, optimizer
+    # state and loss arithmetic (data synthesis stays float32 — the frozen
+    # teacher is the numerically sensitive half)
 
 
 def init_train_d_state(vt_params, d_params, batch: int,
@@ -186,20 +224,28 @@ def train_d_step(
     degree_label = jnp.zeros((b, 1)) + d_s
     pool_to_256 = max(1, cfg.out_size // dcfg.size)
 
+    castp, up = _mp_cast(tcfg.compute_dtype)
+    frozen_c = castp(frozen)
+    inp_c = castp(batch_data["real_input"])
+    xl_c = castp(xl)
+    d_s_c = castp(d_s)
+    real_out_256 = avg_pool(batch_data["real_output"], pool_to_256)
+
     # ---- D step (G frozen) --------------------------------------------------
-    fake_output = jax.lax.stop_gradient(
-        vtoonify_apply(vt_all, cfg, batch_data["real_input"], xl, d_s)
-    )
+    fake_output = up(jax.lax.stop_gradient(
+        vtoonify_apply(castp(vt_all), cfg, inp_c, xl_c, d_s_c)
+    ))
 
     def d_loss_fn(d_params):
-        fake_pred = cond_discriminator_apply(
-            d_params, dcfg, avg_pool(fake_output, pool_to_256), degree_label,
-            style_ind,
-        )
-        real_pred = cond_discriminator_apply(
-            d_params, dcfg, avg_pool(batch_data["real_output"], pool_to_256),
-            degree_label, style_ind,
-        )
+        d_params_c = castp(d_params)
+        fake_pred = up(cond_discriminator_apply(
+            d_params_c, dcfg, castp(avg_pool(fake_output, pool_to_256)),
+            castp(degree_label), style_ind,
+        ))
+        real_pred = up(cond_discriminator_apply(
+            d_params_c, dcfg, castp(real_out_256),
+            castp(degree_label), style_ind,
+        ))
         return d_logistic_loss(real_pred, fake_pred) * tcfg.adv_loss
 
     d_loss, d_grads = jax.value_and_grad(d_loss_fn)(state.d_params)
@@ -215,11 +261,11 @@ def train_d_step(
                                max_off + 1)
 
     def _vt_mask(tr, inp, xl_, ds_):
-        return vtoonify_apply({**frozen, **tr}, cfg, inp, xl_, ds_,
+        return vtoonify_apply({**frozen_c, **castp(tr)}, cfg, inp, xl_, ds_,
                               return_mask=True)
 
     def _vt(tr, inp, xl_, ds_):
-        return vtoonify_apply({**frozen, **tr}, cfg, inp, xl_, ds_)
+        return vtoonify_apply({**frozen_c, **castp(tr)}, cfg, inp, xl_, ds_)
 
     _lpips = lpips_apply
     if tcfg.remat:
@@ -227,23 +273,27 @@ def train_d_step(
         _vt = jax.checkpoint(_vt)
         _lpips = jax.checkpoint(lpips_apply)
 
+    d_params_c = castp(d_params)
+    lpips_params_c = castp(lpips_params)
+
     def g_loss_fn(trainable):
-        fake_output, m_Es = _vt_mask(trainable, batch_data["real_input"], xl,
-                                     d_s)
-        fake_pred = cond_discriminator_apply(
-            d_params, dcfg, avg_pool(fake_output, pool_to_256), degree_label,
-            style_ind,
-        )
+        fake_output, m_Es = _vt_mask(trainable, inp_c, xl_c, d_s_c)
+        fake_output = up(fake_output)
+        m_Es = up(m_Es)
+        fake_pred = up(cond_discriminator_apply(
+            d_params_c, dcfg, castp(avg_pool(fake_output, pool_to_256)),
+            castp(degree_label), style_ind,
+        ))
         g_adv = g_nonsaturating_loss(fake_pred) * tcfg.adv_loss
         g_rec = mse_loss(fake_output, batch_data["real_output"]) * tcfg.grec_loss
         pool_to_512 = max(1, cfg.out_size // tcfg.lpips_size)
-        g_feat = jnp.sum(
+        g_feat = jnp.sum(up(
             _lpips(
-                lpips_params,
-                avg_pool(fake_output, pool_to_512),
-                avg_pool(batch_data["real_output"], pool_to_512),
+                lpips_params_c,
+                castp(avg_pool(fake_output, pool_to_512)),
+                castp(avg_pool(batch_data["real_output"], pool_to_512)),
             )
-        ) * tcfg.perc_loss
+        )) * tcfg.perc_loss
         g_msk = mask_loss(m_Es, d_s, tcfg.msk_loss)
 
         # temporal crop-consistency (train_vtoonify_d.py:326-334); note the
@@ -262,7 +312,7 @@ def train_d_step(
             fake_output, (0, off_w, off_h, 0),
             (fake_output.shape[0], cs, cs, 3),
         )
-        fake_crop_output = _vt(trainable, crop_input, xl, d_s)
+        fake_crop_output = up(_vt(trainable, castp(crop_input), xl_c, d_s_c))
         g_tmp = (
             jnp.mean(jnp.square(fake_crop_output - crop_fake_output))
             * tmp_ramp * tcfg.tmp_loss
@@ -302,6 +352,7 @@ def pretrain_t_step(
     batch: int,
     key,
     lr: float = 1e-4,
+    compute_dtype: Optional[str] = None,
 ):
     """reference train_vtoonify_t.py pretrain() body (:99-135)."""
     opt = make_optimizer(lr)
@@ -310,14 +361,17 @@ def pretrain_t_step(
         key, base_params, cfg.generator, vt_all, cfg, parsing_params,
         directions, batch,
     )
+    castp, up = _mp_cast(compute_dtype)
+    frozen_c = castp(frozen)
+    inp_c = castp(data["real_input"])
 
     def loss_fn(trainable):
-        params = {**frozen, **trainable}
+        params = {**frozen_c, **castp(trainable)}
         fake_feat, fake_skip = vtoonify_apply(
-            params, cfg, data["real_input"], None, return_feat=True
+            params, cfg, inp_c, None, return_feat=True
         )
-        return mse_loss(fake_feat, data["real_feat"]) + mse_loss(
-            fake_skip, data["real_skip"]
+        return mse_loss(up(fake_feat), data["real_feat"]) + mse_loss(
+            up(fake_skip), data["real_skip"]
         )
 
     trainable = {"encoder": state.encoder}
@@ -386,17 +440,23 @@ def train_t_step(
     xl = data["xl"]
     pool_to_256 = max(1, cfg.out_size // dcfg.size)
 
-    fake_output = jax.lax.stop_gradient(
-        vtoonify_apply(vt_all, cfg, data["real_input"], xl)
-    )
+    castp, up = _mp_cast(tcfg.compute_dtype)
+    frozen_c = castp(frozen)
+    inp_c = castp(data["real_input"])
+    xl_c = castp(xl)
+
+    fake_output = up(jax.lax.stop_gradient(
+        vtoonify_apply(castp(vt_all), cfg, inp_c, xl_c)
+    ))
 
     def d_loss_fn(d_params):
-        fake_pred = cond_discriminator_apply(
-            d_params, dcfg, avg_pool(fake_output, pool_to_256)
-        )
-        real_pred = cond_discriminator_apply(
-            d_params, dcfg, avg_pool(data["real_output"], pool_to_256)
-        )
+        d_params_c = castp(d_params)
+        fake_pred = up(cond_discriminator_apply(
+            d_params_c, dcfg, castp(avg_pool(fake_output, pool_to_256))
+        ))
+        real_pred = up(cond_discriminator_apply(
+            d_params_c, dcfg, castp(avg_pool(data["real_output"], pool_to_256))
+        ))
         return d_logistic_loss(real_pred, fake_pred) * tcfg.adv_loss
 
     d_loss, d_grads = jax.value_and_grad(d_loss_fn)(state.d_params)
@@ -410,22 +470,32 @@ def train_t_step(
     off_h = jax.random.randint(jax.random.fold_in(k_crop, 1), (), 0,
                                max_off + 1)
 
+    def _vt(tr, inp, xl_):
+        return vtoonify_apply({**frozen_c, **castp(tr)}, cfg, inp, xl_)
+
+    _lpips = lpips_apply
+    if tcfg.remat:
+        _vt = jax.checkpoint(_vt)
+        _lpips = jax.checkpoint(lpips_apply)
+
+    d_params_c = castp(d_params)
+    lpips_params_c = castp(lpips_params)
+
     def g_loss_fn(trainable):
-        params = {**frozen, **trainable}
-        fake_output = vtoonify_apply(params, cfg, data["real_input"], xl)
-        fake_pred = cond_discriminator_apply(
-            d_params, dcfg, avg_pool(fake_output, pool_to_256)
-        )
+        fake_output = up(_vt(trainable, inp_c, xl_c))
+        fake_pred = up(cond_discriminator_apply(
+            d_params_c, dcfg, castp(avg_pool(fake_output, pool_to_256))
+        ))
         g_adv = g_nonsaturating_loss(fake_pred) * tcfg.adv_loss
         g_rec = mse_loss(fake_output, data["real_output"]) * tcfg.grec_loss
         pool_to_512 = max(1, cfg.out_size // tcfg.lpips_size)
-        g_feat = jnp.sum(
-            lpips_apply(
-                lpips_params,
-                avg_pool(fake_output, pool_to_512),
-                avg_pool(data["real_output"], pool_to_512),
+        g_feat = jnp.sum(up(
+            _lpips(
+                lpips_params_c,
+                castp(avg_pool(fake_output, pool_to_512)),
+                castp(avg_pool(data["real_output"], pool_to_512)),
             )
-        ) * tcfg.perc_loss
+        )) * tcfg.perc_loss
 
         full = jnp.concatenate(
             [data["real_input1024"], data["mask1024"] * synth.PARSING_WEIGHT],
@@ -440,7 +510,7 @@ def train_t_step(
             fake_output, (0, off_w, off_h, 0),
             (fake_output.shape[0], cs, cs, 3),
         )
-        fake_crop_output = vtoonify_apply(params, cfg, crop_input, xl)
+        fake_crop_output = up(_vt(trainable, castp(crop_input), xl_c))
         g_tmp = (
             jnp.mean(jnp.square(fake_crop_output - crop_fake_output))
             * tmp_ramp * tcfg.tmp_loss
