@@ -17,9 +17,53 @@ if "host_platform_device_count" not in flags:
     ).strip()
 
 import jax  # noqa: E402
+import pytest  # noqa: E402
 
 # The environment's sitecustomize may have pinned a hardware platform; tests
 # are hermetic-CPU, so override after import as well.
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
+
+# Fast dev-loop tier (`pytest -m quick`, ~2 min): every test EXCEPT the
+# compile-heavy ones below (each >10 s under --durations=0; the full suite is
+# >1 h). New tests are quick by default — add them here when they grow past
+# ~10 s. e2e-marked tests are never quick.
+_HEAVY_TESTS = {
+    "test_arcface_parity",
+    "test_bisenet_parity",
+    "test_bucketed_vs_exact_outputs",
+    "test_demo_directory",
+    "test_discriminator_parity",
+    "test_dp_inference_frame_sharding",
+    "test_dp_tp_train_step",
+    "test_frame_graph_parity",
+    "test_generator_w_parity",
+    "test_load_reference_vtoonify_and_faceparsing",
+    "test_pipeline_bucketing_and_mesh",
+    "test_pretrain_step_runs_and_learns",
+    "test_pretrain_t_step",
+    "test_psp_encoder_parity",
+    "test_psp_full_wrapper",
+    "test_psp_init_structure_matches",
+    "test_raft_init_smoke",
+    "test_raft_parity",
+    "test_sample_grid_logger",
+    "test_smooth_parsing_maps_smoke",
+    "test_train_d_cli_both_stages",
+    "test_train_d_step_runs",
+    "test_train_state_roundtrip",
+    "test_train_steps_bf16_mixed_precision",
+    "test_train_t_step",
+    "test_validate_drivers_run",
+    "test_vgg19_loss_shapes",
+    "test_video_engine",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        base = item.name.split("[")[0]
+        if base in _HEAVY_TESTS or "e2e" in item.keywords:
+            continue
+        item.add_marker(pytest.mark.quick)
 
