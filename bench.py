@@ -18,8 +18,8 @@ Prints ONE JSON line. Two numbers are reported (VERDICT r1 #2):
 v5e chip; the reference publishes no fps numbers — BASELINE.md).
 
 Env knobs: BENCH_BATCH (16), BENCH_REPS (2), BENCH_E2E (1; 0 skips the video
-loop), BENCH_E2E_FRAMES (48), BENCH_MFU (0; 1 adds XLA cost analysis —
-FLOPs/frame and achieved TFLOPs vs the 197 TFLOP/s bf16 v5e peak).
+loop), BENCH_E2E_FRAMES (48), BENCH_MFU (1; XLA cost analysis — FLOPs/frame
+and achieved TFLOPs vs the 197 TFLOP/s bf16 v5e peak).
 """
 
 import json
@@ -159,7 +159,7 @@ def main():
     reps = int(os.environ.get("BENCH_REPS", "2"))
     run_e2e = os.environ.get("BENCH_E2E", "1") != "0"
     e2e_frames = int(os.environ.get("BENCH_E2E_FRAMES", "48"))
-    run_mfu = os.environ.get("BENCH_MFU", "0") == "1"
+    run_mfu = os.environ.get("BENCH_MFU", "1") == "1"
 
     fps, p50_ms = measure_device_fps(batch, reps)
     rec = {
