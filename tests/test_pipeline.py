@@ -179,3 +179,25 @@ def test_pipeline_bucketing_and_mesh(tiny_models):
     b = np.asarray(ref)[:, 16:-16, 16:-16]
     diff = np.abs(a.astype(np.int32) - b.astype(np.int32))
     assert (diff <= 1).mean() > 0.97
+
+
+def test_prefetch_iterator():
+    """Decode-ahead thread preserves order, propagates errors, stops early."""
+    from vtoonify_tpu.pipeline.video import _PrefetchIterator
+
+    out = list(_PrefetchIterator(iter(range(100)), depth=4))
+    assert out == list(range(100))
+
+    def boom():
+        yield 1
+        raise RuntimeError("decoder died")
+
+    it = _PrefetchIterator(boom(), depth=4)
+    assert next(it) == 1
+    with pytest.raises(RuntimeError, match="decoder died"):
+        next(it)
+
+    # early close while the producer is blocked on a full queue
+    it = _PrefetchIterator(iter(range(10_000)), depth=2)
+    assert next(it) == 0
+    it.close()  # must not deadlock

@@ -3,9 +3,10 @@
 The reference's video loop is fully serialized per batch (CPU decode → H2D →
 GPU forward → D2H → CPU encode, style_transfer.py:99-183). Here the engine
 exploits JAX's asynchronous dispatch: up to `max_in_flight` device batches are
-enqueued before the first result is fetched, and encoding runs on a writer
-thread — so host decode/encode and TPU compute overlap (SURVEY.md §7.3 #9,
-where the ≥60 fps/chip target is won).
+enqueued before the first result is fetched, decoding runs ahead on a
+prefetch thread, and encoding runs on a writer thread — so host decode/encode
+and TPU compute all overlap (SURVEY.md §7.3 #9, where the ≥60 fps/chip target
+is won).
 """
 
 from __future__ import annotations
@@ -45,6 +46,67 @@ def iterate_video_frames(path: str):
             yield fps, native.rgb_to_bgr(np.ascontiguousarray(frame))
     finally:
         cap.release()
+
+
+class _PrefetchIterator:
+    """Decode-ahead thread: pulls items from an iterator into a bounded queue.
+
+    The engine's main thread blocks in `np.asarray` (D2H fetch) once
+    `max_in_flight` batches are enqueued; without prefetch, decoding is
+    serialized with those stalls. With it, cv2 decode runs concurrently and
+    the main-thread "decode" stage in the profile measures only *exposed*
+    decode time (queue waits), not total decoder work.
+    """
+
+    _SENTINEL = object()
+
+    def __init__(self, iterator, depth: int = 16):
+        self._q: queue.Queue = queue.Queue(maxsize=depth)
+        self._err = None
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._run, args=(iterator,),
+                                        daemon=True)
+        self._thread.start()
+
+    def _put(self, item) -> bool:
+        while not self._stop.is_set():
+            try:
+                self._q.put(item, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
+
+    def _run(self, iterator):
+        try:
+            for item in iterator:
+                if not self._put(item):
+                    return
+        except BaseException as e:  # surfaced on the consumer thread
+            self._err = e
+        finally:
+            self._put(self._SENTINEL)
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        item = self._q.get()
+        if item is self._SENTINEL:
+            if self._err is not None:
+                raise self._err
+            raise StopIteration
+        return item
+
+    def close(self):
+        """Stop the producer early (e.g. frame_limit hit) and drain."""
+        self._stop.set()
+        try:
+            while True:
+                self._q.get_nowait()
+        except queue.Empty:
+            pass
+        self._thread.join()
 
 
 class _AsyncWriter:
@@ -154,7 +216,10 @@ def toonify_video(
         in_flight.append((out, len(frames)))
         flush_ready(block=False)
 
-    frame_iter = iterate_video_frames(in_path)
+    frame_iter = _PrefetchIterator(
+        iterate_video_frames(in_path),
+        depth=max(16, 2 * batch_size),
+    )
     while True:
         with timed("decode"):
             item = next(frame_iter, None)
@@ -190,6 +255,7 @@ def toonify_video(
             submit(batch)
             batch = []
 
+    frame_iter.close()
     if batch:
         submit(batch)
     flush_ready(block=True)
