@@ -47,6 +47,8 @@ _HEAVY_TESTS = {
     "test_psp_init_structure_matches",
     "test_raft_init_smoke",
     "test_raft_parity",
+    "test_raft_train_cli",
+    "test_raft_train_step",
     "test_sample_grid_logger",
     "test_smooth_parsing_maps_smoke",
     "test_train_d_cli_both_stages",

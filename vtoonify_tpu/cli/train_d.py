@@ -190,7 +190,7 @@ def main(argv=None):
         _, frozen = split_trainable(vt_params, pretrain=True)
         frozen = shard_params(frozen, mesh, tp=args.tp > 1)
         parsing_sh = shard_params(parsing_params, mesh)
-        step_fn = jax.jit(pretrain_step,
+        step_fn = jax.jit(pretrain_step, donate_argnums=(0,),
                           static_argnames=("cfg", "lr", "compute_dtype"))
         t0 = time.time()
         for idx in range(args.start_iter, args.iter):
@@ -288,7 +288,7 @@ def main(argv=None):
     frozen = shard_params(frozen, mesh, tp=args.tp > 1)
     parsing_sh = shard_params(parsing_params, mesh)
 
-    step_fn = jax.jit(train_d_step,
+    step_fn = jax.jit(train_d_step, donate_argnums=(0,),
                       static_argnames=("cfg", "dcfg", "tcfg", "psp_cfg"))
     glog = SampleGridLogger(log_dir, cfg, args.fix_degree)
 

@@ -147,7 +147,7 @@ def main(argv=None):
         frozen = shard_params(frozen, mesh, tp=args.tp > 1)
         base_sh = shard_params(base_params, mesh, tp=args.tp > 1)
         parsing_sh = shard_params(parsing_params, mesh)
-        step_fn = jax.jit(pretrain_t_step,
+        step_fn = jax.jit(pretrain_t_step, donate_argnums=(0,),
                           static_argnames=("cfg", "batch", "lr",
                                            "compute_dtype"))
         t0 = time.time()
@@ -218,7 +218,7 @@ def main(argv=None):
     base_sh = shard_params(base_params, mesh, tp=args.tp > 1)
     parsing_sh = shard_params(parsing_params, mesh)
 
-    step_fn = jax.jit(train_t_step,
+    step_fn = jax.jit(train_t_step, donate_argnums=(0,),
                       static_argnames=("cfg", "dcfg", "tcfg", "psp_cfg",
                                        "batch"))
     glog = SampleGridLogger(log_dir, cfg, fix_degree=True, use_degree=False)

@@ -42,6 +42,41 @@ def write_flo(path: str, flow: np.ndarray) -> None:
         f.write(np.asarray(flow, np.float32).tobytes())
 
 
+def read_pfm(path: str) -> np.ndarray:
+    """Portable FloatMap ('PF' color / 'Pf' gray): dims line, scale line whose
+    sign encodes endianness, rows stored bottom-up (frame_utils.readPFM).
+    FlyingThings3D ships optical flow as 3-channel PFM; callers drop the last
+    channel (read_gen, frame_utils.py:131-136)."""
+    with open(path, "rb") as f:
+        header = f.readline().strip()
+        if header == b"PF":
+            channels = 3
+        elif header == b"Pf":
+            channels = 1
+        else:
+            raise ValueError(f"not a PFM file: {path}")
+        dims = f.readline().split()
+        w, h = int(dims[0]), int(dims[1])
+        scale = float(f.readline().strip())
+        dtype = "<f4" if scale < 0 else ">f4"
+        data = np.frombuffer(f.read(w * h * channels * 4), dtype=dtype)
+    data = data.reshape(h, w, channels) if channels > 1 else data.reshape(h, w)
+    return np.flipud(data).astype(np.float32)
+
+
+def read_flow_file(path: str):
+    """Flow + optional valid mask by extension: .flo (Middlebury), .pfm
+    (FlyingThings, last channel dropped), .png (KITTI sparse 16-bit)."""
+    ext = os.path.splitext(path)[1]
+    if ext == ".flo":
+        return read_flo(path), None
+    if ext == ".pfm":
+        return read_pfm(path)[:, :, :2], None
+    if ext == ".png":
+        return read_kitti_flow(path)
+    raise ValueError(f"unknown flow format: {path}")
+
+
 def read_kitti_flow(path: str):
     """KITTI 16-bit png → ((H, W, 2) flow, (H, W) valid mask)
     (frame_utils.readFlowKITTI: u = (I-2^15)/64, channel 3 = valid)."""
