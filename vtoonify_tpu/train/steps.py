@@ -98,7 +98,9 @@ def init_pretrain_state(vt_params, lr: float = 1e-4) -> PretrainState:
     opt = make_optimizer(lr)
     return PretrainState(
         encoder=trainable["encoder"],
-        ema_encoder=jax.tree_util.tree_map(lambda a: a, trainable["encoder"]),
+        # real copies, not aliases: the step jits donate the state, and a
+        # buffer aliased into two state fields would be donated twice
+        ema_encoder=jax.tree_util.tree_map(jnp.copy, trainable["encoder"]),
         opt_state=opt.init(trainable),
         step=jnp.zeros((), jnp.int32),
     )
@@ -175,7 +177,7 @@ def init_train_d_state(vt_params, d_params, batch: int,
     d_opt = make_optimizer(tcfg.lr)
     return TrainDState(
         trainable=trainable,
-        ema=jax.tree_util.tree_map(lambda a: a, trainable),
+        ema=jax.tree_util.tree_map(jnp.copy, trainable),  # no aliases: donated
         d_params=d_params,
         g_opt_state=g_opt.init(trainable),
         d_opt_state=d_opt.init(d_params),
@@ -400,7 +402,7 @@ def init_train_t_state(vt_params, d_params, tcfg: TrainDConfig) -> TrainTState:
     d_opt = make_optimizer(tcfg.lr)
     return TrainTState(
         trainable=trainable,
-        ema=jax.tree_util.tree_map(lambda a: a, trainable),
+        ema=jax.tree_util.tree_map(jnp.copy, trainable),  # no aliases: donated
         d_params=d_params,
         g_opt_state=g_opt.init(trainable),
         d_opt_state=d_opt.init(d_params),
