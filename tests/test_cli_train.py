@@ -71,8 +71,10 @@ def test_train_d_cli_both_stages(tiny_zoo, tmp_path, monkeypatch):
 
     # stage 1: encoder distillation
     train_d.main(common + ["--pretrain", "--iter", "2", "--log_every", "10",
-                           "--save_every", "2", "--save_begin", "2"])
+                           "--save_every", "2", "--save_begin", "2",
+                           "--export_pt"])
     assert os.path.exists("checkpoint/smoke/pretrain.ckpt")
+    assert os.path.exists("checkpoint/smoke/pretrain.pt")  # --export_pt
     pre_metrics = [json.loads(line)
                    for line in open("log/smoke/metrics.jsonl")]
     assert len(pre_metrics) == 2 and "emse" in pre_metrics[0]
@@ -84,7 +86,8 @@ def test_train_d_cli_both_stages(tiny_zoo, tmp_path, monkeypatch):
     os.remove("log/smoke/metrics.jsonl")
     train_d.main(common + ["--iter", "2", "--log_every", "2",
                            "--save_every", "2", "--save_begin", "2",
-                           "--allow_random_lpips", "--profile", "1"])
+                           "--allow_random_lpips", "--profile", "1",
+                           "--export_pt"])
 
     # scalar history: one json line per logged step
     recs = [json.loads(line) for line in open("log/smoke/metrics.jsonl")]
@@ -107,3 +110,16 @@ def test_train_d_cli_both_stages(tiny_zoo, tmp_path, monkeypatch):
     # final checkpoint + exact-resume state
     assert os.path.exists("checkpoint/smoke/vtoonify_s_d_c.ckpt")
     assert os.path.exists("checkpoint/smoke/train_state.ckpt")
+
+    # --export_pt: reference-format torch checkpoint, strict-loadable
+    import torch
+
+    from tests import reference_oracle as oracle
+
+    oracle.install()
+    from model.vtoonify import VToonify
+
+    ck = torch.load("checkpoint/smoke/vtoonify_s_d_c.pt", map_location="cpu")
+    ref = VToonify(backbone="dualstylegan", in_size=32, out_size=128,
+                   channel_multiplier=1, num_res_layers=2)
+    ref.load_state_dict(ck["g_ema"], strict=True)

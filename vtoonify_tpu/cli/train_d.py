@@ -76,6 +76,10 @@ def build_parser():
     p.add_argument("--tiny", action="store_true",
                    help="32->128 debug model config (hermetic smoke tests "
                         "only; checkpoints must match)")
+    p.add_argument("--export_pt", action="store_true",
+                   help="also save reference-format torch .pt checkpoints "
+                        "(loadable by the reference style_transfer.py/demo) "
+                        "alongside the Orbax pytrees")
     p.add_argument("--bf16", action="store_true",
                    help="run the student/D/LPIPS forwards in bfloat16 "
                         "(float32 master weights, optimizer state and loss "
@@ -231,6 +235,16 @@ def main(argv=None):
                     f"checkpoint/{args.name}/{name}",
                     {"g_ema": {"encoder": state.ema_encoder}},
                 )
+                if args.export_pt:
+                    from vtoonify_tpu.convert.torch_export import (
+                        save_reference_checkpoint,
+                    )
+
+                    save_reference_checkpoint(
+                        f"checkpoint/{args.name}/"
+                        f"{name.removesuffix('.ckpt')}.pt",
+                        {"encoder": state.ema_encoder}, cfg,
+                    )
         return
 
     # ---- full training ------------------------------------------------------
@@ -367,6 +381,17 @@ def main(argv=None):
                 f"checkpoint/{args.name}/{name}", {"g_ema": state.ema}
             )
             ckpt_util.save_train_state(state_path, state)
+            if args.export_pt:
+                from vtoonify_tpu.convert.torch_export import (
+                    save_reference_checkpoint,
+                )
+
+                # full g_ema like the reference (frozen backbone + EMA
+                # trainables, train_vtoonify_d.py:383-390)
+                save_reference_checkpoint(
+                    f"checkpoint/{args.name}/{name.removesuffix('.ckpt')}.pt",
+                    {**frozen, **state.ema}, cfg,
+                )
 
 
 if __name__ == "__main__":

@@ -68,6 +68,10 @@ def build_parser():
     p.add_argument("--profile", type=int, default=0, metavar="N",
                    help="capture an XLA device trace of N steps (written to "
                         "log/NAME/trace)")
+    p.add_argument("--export_pt", action="store_true",
+                   help="also save reference-format torch .pt checkpoints "
+                        "(loadable by the reference style_transfer.py/demo) "
+                        "alongside the Orbax pytrees")
     p.add_argument("--bf16", action="store_true",
                    help="run the student/D/LPIPS forwards in bfloat16 "
                         "(float32 master weights, optimizer state and loss "
@@ -175,6 +179,16 @@ def main(argv=None):
                     f"checkpoint/{args.name}/{name}",
                     {"g_ema": {"encoder": state.ema_encoder}},
                 )
+                if args.export_pt:
+                    from vtoonify_tpu.convert.torch_export import (
+                        save_reference_checkpoint,
+                    )
+
+                    save_reference_checkpoint(
+                        f"checkpoint/{args.name}/"
+                        f"{name.removesuffix('.ckpt')}.pt",
+                        {"encoder": state.ema_encoder}, cfg,
+                    )
         return
 
     pre = ckpt_util.load_pytree(args.encoder_path)
@@ -260,6 +274,15 @@ def main(argv=None):
                     else f"vtoonify_{idx + 1:05d}.ckpt")
             ckpt_util.save_pytree(f"checkpoint/{args.name}/{name}",
                                   {"g_ema": state.ema})
+            if args.export_pt:
+                from vtoonify_tpu.convert.torch_export import (
+                    save_reference_checkpoint,
+                )
+
+                save_reference_checkpoint(
+                    f"checkpoint/{args.name}/{name.removesuffix('.ckpt')}.pt",
+                    {**frozen, **state.ema}, cfg,
+                )
 
 
 if __name__ == "__main__":
