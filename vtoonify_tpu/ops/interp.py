@@ -89,15 +89,28 @@ def grid_sample(x, grid, align_corners: bool = False, padding_mode: str = "zeros
     wx = fx - x0
     wy = fy - y0
 
+    # The gather operand is a materialized reshape of x; with few channels
+    # minor it would be lane-padded on TPU (C=6 → 21× HBM expansion on the
+    # megapixel augment tensors). Gather from a channels-second-minor view
+    # instead (minor dim = h·w, unpadded) when C is small.
+    fold_c = c <= 16
+    flat_cm = (jnp.moveaxis(x, -1, 1).reshape(n, c, h * w)
+               if fold_c else x.reshape(n, h * w, c))
+
     def gather(ix, iy):
         valid = (ix >= 0) & (ix <= w - 1) & (iy >= 0) & (iy <= h - 1)
         ixc = jnp.clip(ix, 0, w - 1).astype(jnp.int32)
         iyc = jnp.clip(iy, 0, h - 1).astype(jnp.int32)
-        flat = x.reshape(n, h * w, c)
-        idx = iyc * w + ixc  # (N, Ho, Wo)
-        vals = jnp.take_along_axis(
-            flat, idx.reshape(n, -1, 1).astype(jnp.int32), axis=1
-        ).reshape(idx.shape + (c,))
+        idx = (iyc * w + ixc).astype(jnp.int32)  # (N, Ho, Wo)
+        if fold_c:
+            vals = jnp.take_along_axis(
+                flat_cm, idx.reshape(n, 1, -1), axis=2
+            )  # (N, C, Ho·Wo)
+            vals = jnp.moveaxis(vals.reshape((n, c) + idx.shape[1:]), 1, -1)
+        else:
+            vals = jnp.take_along_axis(
+                flat_cm, idx.reshape(n, -1, 1), axis=1
+            ).reshape(idx.shape + (c,))
         if padding_mode == "zeros":
             vals = jnp.where(valid[..., None], vals, 0.0)
         return vals

@@ -86,6 +86,14 @@ def upfirdn2d(x, kernel, up=1, down=1, pad=(0, 0)):
 
     c = x.shape[-1]
     kh, kw = kernel.shape
+    # single-axis 2-D kernels (1×k / k×1, the augment pipeline's calls) route
+    # through the 1-D path so they get the small-channel folded layout too
+    if kw == 1:
+        return _upfirdn1d(x, kernel[:, 0], up_y, down_y, pad_y0, pad_y1,
+                          axis=1)
+    if kh == 1:
+        return _upfirdn1d(x, kernel[0, :], up_x, down_x, pad_x0, pad_x1,
+                          axis=2)
     # true convolution == correlation with the flipped kernel
     w = jnp.flip(kernel, axis=(0, 1))
     w = jnp.broadcast_to(w[:, :, None, None], (kh, kw, 1, c))
@@ -100,9 +108,19 @@ def upfirdn2d(x, kernel, up=1, down=1, pad=(0, 0)):
     )
 
 
+# Below this channel count a depthwise conv is catastrophically lane-padded on
+# TPU (XLA puts C on the 128-wide lane dim: C=3 → 42×, C=6 → 21× memory AND
+# compute expansion — observed as an 8 GB HLO temp for a 388 MB augment
+# tensor). The folded path rewrites the filtered axis's conv so the feature
+# dim is (other_spatial_axis · C), restoring full lanes at <1% padding.
+_FOLD_C_MAX = 16
+
+
 def _upfirdn1d(x, k1d, up, down, pad0, pad1, axis):
     """One separable axis of upfirdn as a depthwise 1-D conv."""
     c = x.shape[-1]
+    if c <= _FOLD_C_MAX:
+        return _upfirdn1d_folded(x, k1d, up, down, pad0, pad1, axis)
     kt = k1d.shape[0]
     w = jnp.flip(k1d)
     if axis == 1:
@@ -124,6 +142,37 @@ def _upfirdn1d(x, k1d, up, down, pad0, pad1, axis):
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         feature_group_count=c,
     )
+
+
+def _upfirdn1d_folded(x, k1d, up, down, pad0, pad1, axis):
+    """Small-channel single-axis upfirdn with the non-filtered spatial axis
+    folded into the conv feature dim.
+
+    Identical math to `_upfirdn1d` (the same per-channel taps are summed in
+    the same order); only the conv's feature layout changes: filtering along
+    H on (B, H, W, C) runs as a depthwise conv on (B, H, 1, W·C) — the
+    (W, C) fold is a free reshape — and filtering along W transposes H↔W
+    first. W·C lanes instead of C means the TPU conv is not lane-padded.
+    """
+    if axis == 2:
+        x = jnp.swapaxes(x, 1, 2)
+    b, h, wd, c = x.shape
+    kt = k1d.shape[0]
+    w = jnp.broadcast_to(jnp.flip(k1d)[:, None, None, None],
+                         (kt, 1, 1, wd * c))
+    out = lax.conv_general_dilated(
+        x.reshape(b, h, 1, wd * c),
+        w,
+        window_strides=(down, 1),
+        padding=((pad0, pad1 + up - 1), (0, 0)),
+        lhs_dilation=(up, 1),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=wd * c,
+    )
+    out = out.reshape(b, out.shape[1], wd, c)
+    if axis == 2:
+        out = jnp.swapaxes(out, 1, 2)
+    return out
 
 
 def upsample_2x(x, kernel_1d):
