@@ -14,7 +14,8 @@ Stages:
 
 Env knobs: TRAIN_BENCH_STAGE (both|pretrain|full), TRAIN_BENCH_BATCH_PRE (8),
 TRAIN_BENCH_BATCH_FULL (2), TRAIN_BENCH_BF16 (0; 1 = bfloat16 forwards with
-f32 master weights — the --bf16 trainer flag), TRAIN_BENCH_ITERS (4).
+f32 master weights — the --bf16 trainer flag), TRAIN_BENCH_REMAT (1; 0 = no
+rematerialization of the G forwards/LPIPS), TRAIN_BENCH_ITERS (4).
 
 State is donated exactly as in the CLI, and iterations are serialized by the
 state dependency, so per-call dispatch overhead is pipelined away; the first
@@ -105,7 +106,10 @@ def bench_full(batch, n_iters, compute_dtype):
     psp_cfg = PSPEncoderConfig(n_styles=cfg.n_latent)
     psp_params = init_psp_encoder(ks[5], psp_cfg)
     lpips_params = init_lpips(ks[6])
-    tcfg = TrainDConfig(compute_dtype=compute_dtype)
+    tcfg = TrainDConfig(
+        compute_dtype=compute_dtype,
+        remat=os.environ.get("TRAIN_BENCH_REMAT", "1") == "1",
+    )
 
     _, frozen = split_trainable(vt_params, pretrain=False)
     init_state = init_train_d_state(vt_params, d_params, batch, cfg, tcfg)

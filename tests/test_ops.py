@@ -96,6 +96,49 @@ def test_upfirdn2d_separable_matches_2d():
         np.testing.assert_allclose(a, b, atol=1e-6)
 
 
+def upfirdn2d_torch_axes(x, k, up, down, pad4):
+    """Per-axis oracle: (up_x, up_y), (down_x, down_y), (x0, x1, y0, y1)."""
+    up_x, up_y = up
+    down_x, down_y = down
+    pad_x0, pad_x1, pad_y0, pad_y1 = pad4
+    n, c, h, w = x.shape
+    kh, kw = k.shape
+    out = x.reshape(n * c, 1, h, 1, w, 1)
+    out = F.pad(out, [0, up_x - 1, 0, 0, 0, up_y - 1])
+    out = out.reshape(n * c, 1, h * up_y, w * up_x)
+    out = F.pad(out, [max(pad_x0, 0), max(pad_x1, 0),
+                      max(pad_y0, 0), max(pad_y1, 0)])
+    out = out[:, :,
+              max(-pad_y0, 0): out.shape[2] - max(-pad_y1, 0),
+              max(-pad_x0, 0): out.shape[3] - max(-pad_x1, 0)]
+    out = F.conv2d(out, torch.flip(k, [0, 1]).reshape(1, 1, kh, kw))
+    out = out[:, :, ::down_y, ::down_x]
+    return out.reshape(n, c, out.shape[2], out.shape[3])
+
+
+@pytest.mark.parametrize(
+    "kshape,up,down,pad4",
+    [
+        ((1, 5), (2, 1), (1, 1), (3, 2, 0, 0)),   # W-only filter → folded
+        ((5, 1), (1, 2), (1, 1), (0, 0, 3, 2)),   # H-only filter → folded
+        ((1, 5), (1, 1), (2, 1), (-2, 1, 0, 0)),  # folded + downsample + crop
+        ((3, 1), (2, 2), (1, 1), (1, 1, 1, 1)),   # 1-wide kernel but the other
+        ((1, 3), (2, 2), (1, 1), (1, 1, 1, 1)),   # axis is NOT identity →
+    ],                                            # generic route must keep it
+)
+def test_upfirdn2d_single_axis_kernels(kshape, up, down, pad4):
+    """Single-row/column kernels with per-axis up/down/pad: the small-C folded
+    path (the augment pipeline's calls) and the guard that keeps 1-wide
+    kernels with a non-identity other axis on the generic route."""
+    x = RNG.randn(2, 11, 9, 3).astype(np.float32)  # C=3 → folded when routed
+    k = RNG.randn(*kshape).astype(np.float32)
+    ours = np.asarray(upfirdn2d(jnp.asarray(x), jnp.asarray(k), up, down, pad4))
+    ref = to_nhwc(upfirdn2d_torch_axes(nchw(x), torch.from_numpy(k), up, down,
+                                       pad4))
+    assert ours.shape == ref.shape
+    np.testing.assert_allclose(ours, ref, atol=2e-5, rtol=1e-5)
+
+
 def test_fused_leaky_relu():
     x = RNG.randn(2, 5, 5, 8).astype(np.float32)
     b = RNG.randn(8).astype(np.float32)

@@ -87,11 +87,12 @@ def upfirdn2d(x, kernel, up=1, down=1, pad=(0, 0)):
     c = x.shape[-1]
     kh, kw = kernel.shape
     # single-axis 2-D kernels (1×k / k×1, the augment pipeline's calls) route
-    # through the 1-D path so they get the small-channel folded layout too
-    if kw == 1:
+    # through the 1-D path so they get the small-channel folded layout too —
+    # only when the other axis is a no-op (its up/down/pad would be dropped)
+    if kw == 1 and (up_x, down_x, pad_x0, pad_x1) == (1, 1, 0, 0):
         return _upfirdn1d(x, kernel[:, 0], up_y, down_y, pad_y0, pad_y1,
                           axis=1)
-    if kh == 1:
+    if kh == 1 and (up_y, down_y, pad_y0, pad_y1) == (1, 1, 0, 0):
         return _upfirdn1d(x, kernel[0, :], up_x, down_x, pad_x0, pad_x1,
                           axis=2)
     # true convolution == correlation with the flipped kernel
