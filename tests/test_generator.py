@@ -121,3 +121,40 @@ def test_discriminator_parity():
         out_ref = ref(oracle.to_nchw(x)).numpy()
     out = np.asarray(discriminator_apply(params, cfg, jnp.asarray(x)))
     np.testing.assert_allclose(out, out_ref, atol=5e-4, rtol=1e-3)
+
+
+def test_generator_packed_stages_match_unpacked():
+    """Packed (space-to-depth) execution of the narrow-channel stages — now
+    incl. per-phase noise injection — is exact vs the plain per-stage path,
+    for both the plain generator and DualStyleGAN (ModRes-free stages)."""
+    import jax
+
+    from vtoonify_tpu.models.dualstylegan import (
+        DualStyleGANConfig,
+        dualstylegan_apply,
+        init_dualstylegan,
+    )
+
+    gcfg = GeneratorConfig(size=128, channel_multiplier=1)
+    gp = init_generator(jax.random.PRNGKey(0), gcfg)
+    b = 2
+    lat = jax.random.normal(jax.random.PRNGKey(1),
+                            (b, gcfg.n_latent, 512)) * 0.3
+    noise = make_noise(gp, gcfg, jax.random.PRNGKey(2), randomize=True,
+                       batch=b)
+    a = np.asarray(generator_apply(gp, gcfg, lat, noise=noise, packed=True))
+    u = np.asarray(generator_apply(gp, gcfg, lat, noise=noise, packed=False))
+    np.testing.assert_allclose(a, u, atol=2e-5)
+
+    dcfg = DualStyleGANConfig(size=128, channel_multiplier=1)
+    dp = init_dualstylegan(jax.random.PRNGKey(3), dcfg)
+    ex = jax.random.normal(jax.random.PRNGKey(4),
+                           (b, dcfg.generator.n_latent, 512)) * 0.3
+    for use_res in (True, False):
+        kw = dict(input_is_latent=True, noise=noise, use_res=use_res,
+                  interp_weights=[0.7] * dcfg.generator.n_latent)
+        ap = np.asarray(dualstylegan_apply(dp, dcfg, [0.5 * lat], ex,
+                                           packed=True, **kw))
+        up = np.asarray(dualstylegan_apply(dp, dcfg, [0.5 * lat], ex,
+                                           packed=False, **kw))
+        np.testing.assert_allclose(ap, up, atol=2e-5)

@@ -130,8 +130,11 @@ def dualstylegan_apply(
     fuse_index=18,
     interp_weights: Sequence = (1.0,) * 18,
     return_feat=False,
+    packed: bool = True,
 ):
-    """reference dualstylegan.py:84-194."""
+    """reference dualstylegan.py:84-194. `packed` runs ModRes-free
+    narrow-channel stages in space-to-depth layout (exact; see
+    generator_apply)."""
     gcfg = cfg.generator
     gp = params["generator"]
     latent = G.styles_to_latent(
@@ -165,36 +168,44 @@ def dualstylegan_apply(
         conv2p = gp["convs"][2 * idx + 1]
         n1, n2 = noise[2 * idx + 1], noise[2 * idx + 2]
 
+        # per-layer styles, T_s-blended past the ModRes region
         if use_res and fuse_index >= i and i > ri:
-            s = interp_weights[i] * L.equal_linear(res[i], adastyles[:, i]) + (
+            s1 = interp_weights[i] * L.equal_linear(res[i], adastyles[:, i]) + (
                 1 - interp_weights[i]
             ) * latent[:, i]
-            out = L.styled_conv(conv1p, out, s, noise=n1, upsample=True)
         else:
-            out = L.styled_conv(conv1p, out, latent[:, i], noise=n1,
-                                upsample=True)
-        if use_res and fuse_index >= i and i <= ri:
-            out = L.ada_res_block(res[i], out, resstyles[:, i],
-                                  interp_weights[i])
-
+            s1 = latent[:, i]
         if use_res and fuse_index >= (i + 1) and i > ri:
-            s = interp_weights[i + 1] * L.equal_linear(
+            s2 = interp_weights[i + 1] * L.equal_linear(
                 res[i + 1], adastyles[:, i + 1]
             ) + (1 - interp_weights[i + 1]) * latent[:, i + 1]
-            out = L.styled_conv(conv2p, out, s, noise=n2)
         else:
-            out = L.styled_conv(conv2p, out, latent[:, i + 1], noise=n2)
-        if use_res and fuse_index >= (i + 1) and i <= ri:
-            out = L.ada_res_block(res[i + 1], out, resstyles[:, i + 1],
-                                  interp_weights[i + 1])
-
+            s2 = latent[:, i + 1]
         if use_res and fuse_index >= (i + 2) and i >= ri - 1:
-            s = interp_weights[i + 2] * L.equal_linear(
+            s3 = interp_weights[i + 2] * L.equal_linear(
                 res[i + 2], adastyles[:, i + 2]
             ) + (1 - interp_weights[i + 2]) * latent[:, i + 2]
-            skip = L.to_rgb(gp["to_rgbs"][idx], out, s, skip)
         else:
-            skip = L.to_rgb(gp["to_rgbs"][idx], out, latent[:, i + 2], skip)
+            s3 = latent[:, i + 2]
+
+        if (packed and (not use_res or i > ri)
+                and conv1p["conv"]["weight"].shape[-1] <= 128):
+            # ModRes-free stage on blended per-layer styles → packed layout
+            # (exact; see generator_apply / docs/PERF.md)
+            outp = L.styled_conv_up_packed(conv1p, out, s1, noise=n1)
+            outp = L.styled_conv_packed(conv2p, outp, s2, noise=n2)
+            skip = L.to_rgb_packed(gp["to_rgbs"][idx], outp, s3, skip)
+            out = L.depth_to_space2(outp)
+        else:
+            out = L.styled_conv(conv1p, out, s1, noise=n1, upsample=True)
+            if use_res and fuse_index >= i and i <= ri:
+                out = L.ada_res_block(res[i], out, resstyles[:, i],
+                                      interp_weights[i])
+            out = L.styled_conv(conv2p, out, s2, noise=n2)
+            if use_res and fuse_index >= (i + 1) and i <= ri:
+                out = L.ada_res_block(res[i + 1], out, resstyles[:, i + 1],
+                                      interp_weights[i + 1])
+            skip = L.to_rgb(gp["to_rgbs"][idx], out, s3, skip)
 
         i += 2
         if i > ri and return_feat:

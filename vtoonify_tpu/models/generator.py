@@ -189,12 +189,18 @@ def generator_apply(
     latent,
     noise: Optional[Sequence] = None,
     return_feature_ind: int = 999,
+    packed: bool = True,
 ):
     """Synthesis network on a prepared W+ latent (B, n_latent, style_dim).
 
     reference model.py:567-590. `noise` is a list of num_layers arrays or
     Nones. Returns image, or (feat, skip) when return_feature_ind is hit
     (the early-exit teacher interface, model.py:581-582).
+
+    `packed` runs the narrow-channel high-res stages (Cout ≤ 128) in
+    space-to-depth packed layout — exact algebra, same MXU-lane win as the
+    VToonify tail (docs/PERF.md); noise injection is applied per packed
+    phase. Set False to force the plain per-stage path.
     """
     if noise is None:
         noise = [None] * cfg.num_layers
@@ -211,10 +217,21 @@ def generator_apply(
     for idx in range(len(params["to_rgbs"])):
         conv1 = params["convs"][2 * idx]
         conv2 = params["convs"][2 * idx + 1]
-        out = L.styled_conv(conv1, out, latent[:, i], noise=noise[2 * idx + 1],
-                            upsample=True)
-        out = L.styled_conv(conv2, out, latent[:, i + 1], noise=noise[2 * idx + 2])
-        skip = L.to_rgb(params["to_rgbs"][idx], out, latent[:, i + 2], skip)
+        if packed and conv1["conv"]["weight"].shape[-1] <= 128:
+            outp = L.styled_conv_up_packed(conv1, out, latent[:, i],
+                                           noise=noise[2 * idx + 1])
+            outp = L.styled_conv_packed(conv2, outp, latent[:, i + 1],
+                                        noise=noise[2 * idx + 2])
+            skip = L.to_rgb_packed(params["to_rgbs"][idx], outp,
+                                   latent[:, i + 2], skip)
+            out = L.depth_to_space2(outp)
+        else:
+            out = L.styled_conv(conv1, out, latent[:, i],
+                                noise=noise[2 * idx + 1], upsample=True)
+            out = L.styled_conv(conv2, out, latent[:, i + 1],
+                                noise=noise[2 * idx + 2])
+            skip = L.to_rgb(params["to_rgbs"][idx], out, latent[:, i + 2],
+                            skip)
         i += 2
         if i > return_feature_ind:
             return out, skip

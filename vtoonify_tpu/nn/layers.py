@@ -457,6 +457,25 @@ def depth_to_space2(yp):
     return jnp.transpose(yp, (0, 1, 3, 2, 4, 5)).reshape(b, 2 * h, 2 * w_, c)
 
 
+def _pack_noise2(noise, dtype):
+    """(B, 2H, 2W, 1) noise image → (B, H, W, 4) in the packed phase order
+    (py, px) that depth_to_space2 unpacks."""
+    b, s, s2, _ = noise.shape
+    n = noise.astype(dtype).reshape(b, s // 2, 2, s2 // 2, 2)
+    return jnp.transpose(n, (0, 1, 3, 2, 4)).reshape(b, s // 2, s2 // 2, 4)
+
+
+def _add_noise_packed(y, p_noise, noise, cout):
+    """NoiseInjection on a packed pre-activation (B, H, W, 4C): each phase
+    block gets its phase's noise pixel (exactly noise_injection after
+    depth_to_space2)."""
+    if noise is None:
+        return y
+    n4 = _pack_noise2(noise, y.dtype)
+    return y + p_noise["weight"].astype(y.dtype) * jnp.repeat(n4, cout,
+                                                              axis=-1)
+
+
 def _mod_sd(p, style, eps=1e-8):
     w = p["weight"]
     kh, kw, cin, cout = w.shape
@@ -467,9 +486,10 @@ def _mod_sd(p, style, eps=1e-8):
     return (w * scale), s, d
 
 
-def styled_conv_up_packed(p, x, style, blur_kernel=BLUR_KERNEL):
+def styled_conv_up_packed(p, x, style, noise=None, blur_kernel=BLUR_KERNEL):
     """Upsampling styled conv; input unpacked (B,H,W,Cin), output PACKED
-    (B,H,W,4Cout) — the polyphase conv without its depth-to-space."""
+    (B,H,W,4Cout) — the polyphase conv without its depth-to-space. `noise`
+    is the unpacked (B, 2H, 2W, 1) NoiseInjection image (or None)."""
     wsc, s, d = _mod_sd(p["conv"], style)
     c6 = _compose_upsample_kernel(wsc.astype(x.dtype), blur_kernel)
     phases = [c6[1::2, 1::2], c6[1::2, 0::2], c6[0::2, 1::2], c6[0::2, 0::2]]
@@ -479,18 +499,21 @@ def styled_conv_up_packed(p, x, style, blur_kernel=BLUR_KERNEL):
     cout = wsc.shape[-1]
     dd = jnp.tile(d.astype(x.dtype), (1, 4))[:, None, None, :]
     y = y * dd
+    y = _add_noise_packed(y, p["noise"], noise, cout)
     bias = jnp.tile(p["act_bias"], 4)
     return fused_leaky_relu(y, bias)
 
 
-def styled_conv_packed(p, xp, style):
-    """Non-upsampling styled conv entirely in packed layout."""
+def styled_conv_packed(p, xp, style, noise=None):
+    """Non-upsampling styled conv entirely in packed layout. `noise` is the
+    unpacked (B, 2H, 2W, 1) NoiseInjection image (or None)."""
     wsc, s, d = _mod_sd(p["conv"], style)
     kp = _packed_kernel_3x3(wsc.astype(xp.dtype))
     sp = jnp.tile(s.astype(xp.dtype), (1, 4))[:, None, None, :]
     y = conv2d(xp * sp, kp, padding=1)
     dd = jnp.tile(d.astype(xp.dtype), (1, 4))[:, None, None, :]
     y = y * dd
+    y = _add_noise_packed(y, p["noise"], noise, wsc.shape[-1])
     bias = jnp.tile(p["act_bias"], 4)
     return fused_leaky_relu(y, bias)
 
