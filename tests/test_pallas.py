@@ -29,3 +29,58 @@ def test_blur_pallas_matches():
     out = blur_same_pallas(x, k, pad=(2, 1), interpret=True)
     assert out.shape == ref.shape
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_affine_warp_pallas_matches_grid_sample():
+    """One-hot-matmul affine warp kernel == grid_sample on affine grids
+    (zeros padding, align_corners=False), incl. out-of-image regions."""
+    import vtoonify_tpu.train.augment as aug
+    from vtoonify_tpu.ops.interp import grid_sample
+
+    rng = np.random.RandomState(3)
+    n, h, w, c = 2, 40, 52, 6
+    ho, wo = 30, 36
+    img = jnp.asarray(rng.randn(n, h, w, c).astype(np.float32))
+    theta = np.tile(np.eye(2, 3, dtype=np.float32), (n, 1, 1))
+    for k in range(n):
+        a = rng.uniform(-0.7, 0.7)
+        s = rng.uniform(0.7, 1.4)
+        rot = np.array([[np.cos(a), -np.sin(a)], [np.sin(a), np.cos(a)]]) * s
+        theta[k, :2, :2] = rot
+        theta[k, :, 2] = rng.uniform(-0.6, 0.6, 2)  # pushes samples off-image
+    theta = jnp.asarray(theta)
+
+    grid = aug._affine_grid(theta, (ho, wo), align_corners=False)
+    ref = np.asarray(grid_sample(img, grid, align_corners=False,
+                                 padding_mode="zeros"))
+    old_force, old_interp = aug._FORCE_KERNEL, aug._INTERPRET
+    aug._FORCE_KERNEL, aug._INTERPRET = True, True
+    try:
+        out = np.asarray(aug._affine_warp(img, theta, (ho, wo)))
+    finally:
+        aug._FORCE_KERNEL, aug._INTERPRET = old_force, old_interp
+    np.testing.assert_allclose(out, ref, atol=1e-4)
+
+
+def test_random_apply_affine_kernel_path_matches_xla():
+    """The full augment pipeline produces the same output through the Pallas
+    warp path as through the XLA grid_sample path (explicit-G hook)."""
+    import vtoonify_tpu.train.augment as aug
+
+    rng = np.random.RandomState(4)
+    img = jnp.asarray(rng.randn(2, 24, 24, 6).astype(np.float32))
+    G = np.tile(np.eye(3, dtype=np.float32), (2, 1, 1))
+    G[0, 0, 2], G[0, 1, 2] = 0.1, -0.05
+    a = 0.5
+    G[1, :2, :2] = np.array([[np.cos(a), -np.sin(a)],
+                             [np.sin(a), np.cos(a)]]) * 1.1
+    G = jnp.asarray(np.linalg.inv(G))
+
+    ref, _ = aug.random_apply_affine(img, 0.2, G=G, max_pad=14)
+    old_force, old_interp = aug._FORCE_KERNEL, aug._INTERPRET
+    aug._FORCE_KERNEL, aug._INTERPRET = True, True
+    try:
+        out, _ = aug.random_apply_affine(img, 0.2, G=G, max_pad=14)
+    finally:
+        aug._FORCE_KERNEL, aug._INTERPRET = old_force, old_interp
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)

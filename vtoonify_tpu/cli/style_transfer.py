@@ -53,7 +53,14 @@ def build_parser():
     p.add_argument("--landmarks", type=str, default=None,
                    help="precomputed 68-point landmarks .npy (dlib-free path)")
     p.add_argument("--fp32", action="store_true",
-                   help="run in float32 instead of bfloat16")
+                   help="run in float32 instead of bfloat16 (also raises the "
+                        "TPU matmul precision to 'highest' — true f32 MXU "
+                        "passes — unless --matmul_precision overrides)")
+    p.add_argument("--matmul_precision", type=str, default=None,
+                   choices=["default", "high", "highest"],
+                   help="XLA matmul/conv precision for f32 ops. On TPU the "
+                        "XLA default is a single bf16 MXU pass; 'highest' "
+                        "gives bit-faithful f32 at ~4-6x the MXU cost")
     p.add_argument("--profile", action="store_true",
                    help="print a decode/dispatch/fetch/encode stage "
                         "breakdown after video processing")
@@ -89,11 +96,16 @@ def main(argv=None):
 
         jax.config.update("jax_platforms", "cpu")
 
+    import jax
     import jax.numpy as jnp
 
     from vtoonify_tpu.utils.cache import enable_compilation_cache
 
     enable_compilation_cache()
+
+    prec = args.matmul_precision or ("highest" if args.fp32 else None)
+    if prec is not None:
+        jax.config.update("jax_default_matmul_precision", prec)
 
     from vtoonify_tpu.pipeline import crop as crop_mod
     from vtoonify_tpu.pipeline.landmarks import make_landmarker

@@ -76,6 +76,11 @@ def build_parser():
                    help="run the student/D/LPIPS forwards in bfloat16 "
                         "(float32 master weights, optimizer state and loss "
                         "arithmetic) — halves activation HBM, MXU-native")
+    p.add_argument("--matmul_precision", type=str, default=None,
+                   choices=["default", "high", "highest"],
+                   help="XLA f32 matmul/conv precision. The TPU default is a "
+                        "single bf16 MXU pass (TF32-like, matching torch's "
+                        "A100 default); 'highest' gives true f32 passes")
     return p
 
 
@@ -99,6 +104,11 @@ def main(argv=None):
     from vtoonify_tpu.utils.cache import enable_compilation_cache
 
     enable_compilation_cache()
+    if args.matmul_precision is not None:
+        import jax
+
+        jax.config.update("jax_default_matmul_precision",
+                          args.matmul_precision)
 
     from vtoonify_tpu.models.vtoonify import (
         CondDiscriminatorConfig,

@@ -234,3 +234,172 @@ def modconv3x3_fused_pallas(x, w, s, d=None, act_bias=None,
         interpret=interpret,
     )(s.astype(x.dtype), d.astype(x.dtype),
       act_bias.astype(x.dtype)[None], w_taps.astype(x.dtype), xp)
+
+
+# ---------------------------------------------------------------------------
+# affine bilinear warp (the augment pipeline's grid_sample)
+#
+# TPU has no hardware gather: XLA lowers grid_sample's four corner gathers to
+# per-index loops — the production stage-2 augment call (batch-2 4126²×6 →
+# 2060²×6 warp inside random_apply_affine) measures 712 ms through the gather
+# path vs 111 ms through this kernel (6.4×), taking the whole training step
+# from 0.93 to 0.43 s/iter. The warp is reformulated as dense one-hot lerp
+# contractions, which the MXU/VPU eat: for each TH×TW
+# output tile it DMAs the (bounded) input box the affine maps the tile into,
+# builds the y-axis lerp weights as a (TP, BH) two-nonzero matrix, contracts
+# it with the box on the MXU, applies the x-axis lerp as a masked elementwise
+# multiply over the box lanes, and sums channels back out with a constant
+# (BW·C, Cpad) selection matmul. Exact bilinear-with-zeros-padding semantics
+# (validity factorizes per axis, so per-corner masks are products of per-axis
+# masks). Everything stays 2D with ≥8×128-friendly shapes — Mosaic has no
+# 2D→1D shape casts and no cheap 3D reductions.
+#
+# The box size is static: BH ≈ BW ≈ s_bound·(TH+TW) covers any affine whose
+# coefficient magnitudes are ≤ s_bound (the augment's distribution keeps
+# |A| < 1.6 beyond 5σ; default bound 2.25). Pixels mapped outside the box
+# (out-of-distribution transforms) read as zeros — the same value the
+# zeros-padding mode gives out-of-image samples.
+
+
+def _affine_warp_kernel(coef_ref, xmap_ref, smat_ref, img_hbm, o_ref, box,
+                        sem, *, th, tw, bh, bw, c, h, w, align, precision):
+    n = pl.program_id(0)
+    j0 = (pl.program_id(1) * th).astype(jnp.int32)
+    i0 = (pl.program_id(2) * tw).astype(jnp.int32)
+    ax, bx, cx = coef_ref[n, 0], coef_ref[n, 1], coef_ref[n, 2]
+    ay, by, cy = coef_ref[n, 3], coef_ref[n, 4], coef_ref[n, 5]
+
+    j0f = j0.astype(jnp.float32)
+    i0f = i0.astype(jnp.float32)
+    j1f = j0f + (th - 1)
+    i1f = i0f + (tw - 1)
+    # affine ⇒ per-tile coordinate extrema are at tile corners
+    fx_min = jnp.minimum(ax * i0f, ax * i1f) + jnp.minimum(bx * j0f, bx * j1f) + cx
+    fy_min = jnp.minimum(ay * i0f, ay * i1f) + jnp.minimum(by * j0f, by * j1f) + cy
+    # sublane-align the row start, lane-align the (W·C) DMA offset; the box
+    # carries enough slack (see wrapper) to cover the align-down
+    ys = jnp.clip(jnp.floor(fy_min).astype(jnp.int32) - 1, 0, h - bh)
+    ys = (ys // 8) * 8
+    xs = jnp.clip(jnp.floor(fx_min).astype(jnp.int32) - 1, 0, w - bw)
+    xs = (xs // align) * align
+
+    copy = pltpu.make_async_copy(
+        img_hbm.at[n, pl.ds(ys, bh), pl.ds(xs * c, bw * c)], box, sem
+    )
+    copy.start()
+    copy.wait()
+
+    tp = th * tw
+    ltw = tw.bit_length() - 1
+    p = jax.lax.broadcasted_iota(jnp.int32, (tp, 1), 0)
+    jj = (j0 + (p >> ltw)).astype(jnp.float32)
+    ii = (i0 + (p & (tw - 1))).astype(jnp.float32)
+    fx = ax * ii + bx * jj + cx                      # (tp, 1)
+    fy = ay * ii + by * jj + cy
+    x0f = jnp.floor(fx)
+    y0f = jnp.floor(fy)
+    wx = fx - x0f
+    wy = fy - y0f
+    x0 = x0f.astype(jnp.int32)
+    y0 = y0f.astype(jnp.int32)
+
+    # per-axis corner validity (global image bounds, zeros padding)
+    vy0 = ((y0 >= 0) & (y0 <= h - 1)).astype(jnp.float32)
+    vy1 = ((y0 >= -1) & (y0 <= h - 2)).astype(jnp.float32)
+    vx0 = ((x0 >= 0) & (x0 <= w - 1)).astype(jnp.float32)
+    vx1 = ((x0 >= -1) & (x0 <= w - 2)).astype(jnp.float32)
+
+    ly0 = y0 - ys                                    # (tp, 1) box-local rows
+    lx0 = x0 - xs
+
+    rio = jax.lax.broadcasted_iota(jnp.int32, (tp, bh), 1)
+    w_y = (jnp.where(rio == ly0, (1.0 - wy) * vy0, 0.0)
+           + jnp.where(rio == ly0 + 1, wy * vy1, 0.0))
+    t1 = jnp.dot(w_y, box[...], preferred_element_type=jnp.float32,
+                 precision=precision)
+
+    xq = xmap_ref[...]                               # (1, bw·c): lane → x
+    wxe = (jnp.where(xq == lx0, (1.0 - wx) * vx0, 0.0)
+           + jnp.where(xq == lx0 + 1, wx * vx1, 0.0))
+    # channel re-collection: smat[k, k mod c] = 1 sums each channel's lanes
+    o_ref[0, 0] = jnp.dot(t1 * wxe, smat_ref[...],
+                          preferred_element_type=jnp.float32,
+                          precision=precision)
+
+
+def affine_warp_bilinear_pallas(img, coef, out_hw, s_bound: float = 2.25,
+                                tile=(8, 32), interpret: bool = False,
+                                precision=jax.lax.Precision.HIGHEST):
+    """Bilinear warp of an NHWC image along a per-sample PIXEL-space affine.
+
+    Args:
+      img: (N, H, W, C) float32.
+      coef: (N, 6) float32 [ax, bx, cx, ay, by, cy]: source coords of output
+        pixel (row j, col i) are fx = ax·i + bx·j + cx, fy = ay·i + by·j + cy.
+      out_hw: (Ho, Wo) output size.
+      s_bound: static bound on |ax|,|bx|,|ay|,|by| the input box must cover;
+        samples mapped outside the box read as zeros.
+      precision: MXU precision of the two contractions. Sampling POSITIONS
+        are exact at any setting (corner selection is integer compares);
+        precision only rounds the lerp VALUES. DEFAULT (one bf16 pass) gives
+        ≤ ~6e-3 absolute error on [-1, 1] images (≈1.4 uint8 LSB, measured
+        5.5e-3 vs a float64 oracle) at full speed; HIGHEST is f32-exact
+        (2.6e-4 vs the same oracle — pure f32 rounding) at ~6× the MXU cost.
+        Mosaic does not implement HIGH.
+
+    Returns (N, Ho, Wo, C) float32 — grid_sample(mode='bilinear',
+    padding_mode='zeros') of the equivalent affine grid.
+    """
+    import numpy as np
+
+    n, h, w, c = img.shape
+    ho, wo = out_hw
+    th, tw = tile
+    assert tw & (tw - 1) == 0, "tile width must be a power of two"
+    assert (th * tw) % 8 == 0
+    # box extent: affine spread s·(th+tw-2), +3 for the floor-1…+2 corner
+    # window, + alignment slack (8 sublanes / `align` lanes from aligning the
+    # start down)
+    span = int(math.ceil(s_bound * (th + tw - 2))) + 3
+    align = 128 // math.gcd(128, c)
+    bh = min(-(-(span + 8) // 8) * 8, h)
+    bw = min(-(-(span + align) // align) * align, w)
+    cpad = -(-c // 8) * 8
+    njt = pl.cdiv(ho, th)
+    nit = pl.cdiv(wo, tw)
+    tp = th * tw
+
+    xmap = jnp.asarray(np.arange(bw * c, dtype=np.int32) // c)[None]
+    smat_np = np.zeros((bw * c, cpad), np.float32)
+    smat_np[np.arange(bw * c), np.arange(bw * c) % c] = 1.0
+    smat = jnp.asarray(smat_np)
+
+    kern = functools.partial(_affine_warp_kernel, th=th, tw=tw, bh=bh, bw=bw,
+                             c=c, h=h, w=w, align=align, precision=precision)
+    coef8 = jnp.pad(coef.astype(jnp.float32), ((0, 0), (0, 2)))
+    out = pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((n, njt * nit, tp, cpad), jnp.float32),
+        grid=(n, njt, nit),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),      # coef (whole, scalar)
+            pl.BlockSpec(memory_space=pltpu.VMEM),      # lane → x map
+            pl.BlockSpec(memory_space=pltpu.VMEM),      # channel-sum matrix
+            pl.BlockSpec(memory_space=pl.ANY),          # img (HBM)
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, tp, cpad),
+            lambda ni, j, i: (ni, j * nit + i, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((bh, bw * c), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(coef8, xmap, smat, img.astype(jnp.float32).reshape(n, h, w * c))
+    out = out.reshape(n, njt, nit, th, tw, cpad)
+    out = jnp.transpose(out, (0, 1, 3, 2, 4, 5)).reshape(
+        n, njt * th, nit * tw, cpad
+    )
+    return out[:, :ho, :wo, :c]

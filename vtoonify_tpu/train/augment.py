@@ -19,13 +19,31 @@ double-backward at simple_augment.py:342-377).
 
 from __future__ import annotations
 
+import functools
 import math
+import os
 
 import jax
 import jax.numpy as jnp
 
 from vtoonify_tpu.ops.interp import grid_sample
 from vtoonify_tpu.ops.upfirdn2d import upfirdn2d
+
+# TPU fast path for the affine warp (see _affine_warp below). Overridable for
+# tests: _FORCE_KERNEL forces the Pallas path, _INTERPRET runs it in
+# interpreter mode (hermetic CPU). VTOONIFY_WARP_EXACT=1 runs the kernel's
+# MXU contractions at Precision.HIGHEST (f32-exact, ~6x the MXU cost)
+# instead of the default single bf16 pass (value-only error ≤ ~6e-3 on
+# [-1,1] images — under 2 uint8 LSB; sampling positions are exact either
+# way).
+_FORCE_KERNEL = False
+_INTERPRET = False
+_EXACT = os.environ.get("VTOONIFY_WARP_EXACT", "0") == "1"
+
+
+@functools.lru_cache(None)
+def _on_tpu() -> bool:
+    return jax.default_backend() == "tpu"
 
 SYM6 = jnp.array(
     (
@@ -132,7 +150,67 @@ def _affine_grid(theta, hw, align_corners=False):
         ys = (jnp.arange(h) * 2 + 1) / h - 1.0
     gx, gy = jnp.meshgrid(xs, ys)  # (H, W)
     base = jnp.stack([gx, gy, jnp.ones_like(gx)], axis=-1)  # (H, W, 3)
-    return jnp.einsum("hwk,njk->nhwj", base, theta)
+    # HIGHEST: on TPU the default einsum precision is a single bf16 MXU pass,
+    # which puts ~0.1 px of noise on the sampling coordinates
+    return jnp.einsum("hwk,njk->nhwj", base, theta,
+                      precision=jax.lax.Precision.HIGHEST)
+
+
+def _pixel_affine_coefs(theta, out_hw, in_hw):
+    """Normalized-grid affine (N, 2, 3) → pixel-space coefficients
+    [ax, bx, cx, ay, by, cy]: the exact composition of `_affine_grid`
+    (align_corners=False) with grid_sample's coordinate unnormalization."""
+    ho, wo = out_hw
+    h, w = in_hw
+    t00, t01, t02 = theta[:, 0, 0], theta[:, 0, 1], theta[:, 0, 2]
+    t10, t11, t12 = theta[:, 1, 0], theta[:, 1, 1], theta[:, 1, 2]
+    ax = t00 * (w / wo)
+    bx = t01 * (w / ho)
+    cx = (t00 * (1 / wo - 1) + t01 * (1 / ho - 1) + t02 + 1) * (w / 2) - 0.5
+    ay = t10 * (h / wo)
+    by = t11 * (h / ho)
+    cy = (t10 * (1 / wo - 1) + t11 * (1 / ho - 1) + t12 + 1) * (h / 2) - 0.5
+    return jnp.stack([ax, bx, cx, ay, by, cy], axis=-1)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _affine_warp_kernelpath(img, theta, out_hw):
+    from vtoonify_tpu.ops.pallas_kernels import affine_warp_bilinear_pallas
+
+    coef = _pixel_affine_coefs(theta, out_hw, img.shape[1:3])
+    prec = (jax.lax.Precision.HIGHEST if (_EXACT or _INTERPRET)
+            else jax.lax.Precision.DEFAULT)
+    return affine_warp_bilinear_pallas(img, coef, out_hw,
+                                       interpret=_INTERPRET, precision=prec)
+
+
+def _affine_warp_xla(img, theta, out_hw):
+    grid = _affine_grid(theta, out_hw, align_corners=False)
+    return grid_sample(img, grid.astype(img.dtype), align_corners=False,
+                       padding_mode="zeros")
+
+
+def _affine_warp_fwd(img, theta, out_hw):
+    return _affine_warp_kernelpath(img, theta, out_hw), (img, theta)
+
+
+def _affine_warp_bwd(out_hw, res, g):
+    # gradients via the differentiable XLA formulation (the kernel itself has
+    # no VJP; the augment runs under stop_gradient in the trainers anyway)
+    img, theta = res
+    _, vjp = jax.vjp(lambda a, t: _affine_warp_xla(a, t, out_hw), img, theta)
+    return vjp(g)
+
+
+_affine_warp_kernelpath.defvjp(_affine_warp_fwd, _affine_warp_bwd)
+
+
+def _affine_warp(img, theta, out_hw):
+    """grid_sample(affine grid) — Pallas one-hot-matmul kernel on TPU (TPU
+    gathers serialize; docs/PERF.md), XLA gathers elsewhere."""
+    if (_FORCE_KERNEL or _on_tpu()) and img.dtype == jnp.float32:
+        return _affine_warp_kernelpath(img, theta, out_hw)
+    return _affine_warp_xla(img, theta, out_hw)
 
 
 def random_apply_affine(img, p, key=None, G=None, max_pad=None):
@@ -170,9 +248,7 @@ def random_apply_affine(img, p, key=None, G=None, max_pad=None):
         @ G_inv
         @ _scale_single(1 / (2 / out_w), 1 / (2 / out_h))
     )
-    grid = _affine_grid(G_inv[:, :2, :], (out_h, out_w))
-    img_affine = grid_sample(img_2x, grid.astype(img.dtype),
-                             align_corners=False, padding_mode="zeros")
+    img_affine = _affine_warp(img_2x, G_inv[:, :2, :], (out_h, out_w))
 
     k_flip = jnp.flip(k)
     d_p = -pad_k * 2
