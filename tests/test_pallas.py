@@ -84,3 +84,39 @@ def test_random_apply_affine_kernel_path_matches_xla():
     finally:
         aug._FORCE_KERNEL, aug._INTERPRET = old_force, old_interp
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
+
+
+def test_affine_warp_unaligned_shape_padding():
+    """Physical-array padding path: images whose (H, W·C) minor dims are not
+    (8, 128)-tile aligned are zero-padded inside the wrapper with validity
+    masks still using logical bounds (unaligned sources fed directly to the
+    Mosaic DMA corrupted copies on hardware — max-err 1.0 at 1030²·6; padded
+    path re-verified at 2.9e-4 vs a float64 oracle)."""
+    import vtoonify_tpu.train.augment as aug
+    from vtoonify_tpu.ops.interp import grid_sample
+    from vtoonify_tpu.ops.pallas_kernels import (affine_warp_bilinear_pallas,
+                                                 affine_warp_supported)
+
+    assert affine_warp_supported((1, 1030, 1030, 6))
+    assert affine_warp_supported((1, 4126, 4126, 6))
+    assert not affine_warp_supported((1, 100, 100, 6))  # below one box
+
+    rng = np.random.RandomState(11)
+    n, h, w, c = 1, 206, 210, 6  # h%8=6, (w*c)%128!=0
+    ho, wo = 101, 103            # partial output tiles too
+    img = jnp.asarray(rng.randn(n, h, w, c).astype(np.float32))
+    theta = np.tile(np.eye(2, 3, dtype=np.float32), (n, 1, 1))
+    a = 0.2
+    theta[0, :2, :2] = np.array([[np.cos(a), -np.sin(a)],
+                                 [np.sin(a), np.cos(a)]]) * 1.05
+    theta[0, :, 2] = [0.21, -0.13]
+    theta = jnp.asarray(theta)
+    coef = aug._pixel_affine_coefs(theta, (ho, wo), (h, w))
+    out = affine_warp_bilinear_pallas(img, coef, (ho, wo), interpret=True)
+    grid = aug._affine_grid(theta, (ho, wo), align_corners=False)
+    ref = np.asarray(grid_sample(img, grid, align_corners=False,
+                                 padding_mode="zeros"))
+    # 1e-3: the composed pixel coefs and the two-step normalized grid are
+    # equivalent in exact arithmetic but round differently in f32 — at
+    # ~200 px coordinates that is a few e-4 of value difference
+    np.testing.assert_allclose(np.asarray(out), ref, atol=1e-3)

@@ -62,3 +62,18 @@ def test_load_reference_vtoonify_and_faceparsing(tmp_path):
     p = bisenet_apply(bn_params, jnp.asarray(
         rng.randn(1, 64, 64, 3).astype(np.float32)))
     assert p.shape == (1, 64, 64, 19)
+
+
+def test_too_many_res_layers_rejected(tmp_path):
+    """num_res_layers > 6 dualstylegan checkpoints are rejected up front:
+    the reference's own forward crashes on them (its `self.res` ModuleList
+    is always 7 entries — model/vtoonify.py:203-209,236-239)."""
+    import pytest
+
+    torch.manual_seed(9)
+    ref = VToonify(in_size=32, out_size=128, channel_multiplier=1,
+                   num_res_layers=7, backbone="dualstylegan").eval()
+    vt_path = str(tmp_path / "vtoonify_bad.pt")
+    torch.save({"g_ema": ref.state_dict()}, vt_path)
+    with pytest.raises(ValueError, match="at most 6"):
+        ckpt_util.load_reference_vtoonify(vt_path)

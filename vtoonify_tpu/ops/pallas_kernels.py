@@ -262,7 +262,11 @@ def modconv3x3_fused_pallas(x, w, s, d=None, act_bias=None,
 
 
 def _affine_warp_kernel(coef_ref, xmap_ref, smat_ref, img_hbm, o_ref, box,
-                        sem, *, th, tw, bh, bw, c, h, w, align, precision):
+                        sem, *, th, tw, bh, bw, c, h, w, hp, wp, align,
+                        precision):
+    # h, w: LOGICAL image bounds (zero-padding validity); hp, wp: physical
+    # array dims, padded so every DMA offset/size is (8, 128)-tile aligned —
+    # Mosaic silently corrupts copies from arrays with unaligned minor dims
     n = pl.program_id(0)
     j0 = (pl.program_id(1) * th).astype(jnp.int32)
     i0 = (pl.program_id(2) * tw).astype(jnp.int32)
@@ -278,9 +282,9 @@ def _affine_warp_kernel(coef_ref, xmap_ref, smat_ref, img_hbm, o_ref, box,
     fy_min = jnp.minimum(ay * i0f, ay * i1f) + jnp.minimum(by * j0f, by * j1f) + cy
     # sublane-align the row start, lane-align the (W·C) DMA offset; the box
     # carries enough slack (see wrapper) to cover the align-down
-    ys = jnp.clip(jnp.floor(fy_min).astype(jnp.int32) - 1, 0, h - bh)
+    ys = jnp.clip(jnp.floor(fy_min).astype(jnp.int32) - 1, 0, hp - bh)
     ys = (ys // 8) * 8
-    xs = jnp.clip(jnp.floor(fx_min).astype(jnp.int32) - 1, 0, w - bw)
+    xs = jnp.clip(jnp.floor(fx_min).astype(jnp.int32) - 1, 0, wp - bw)
     xs = (xs // align) * align
 
     copy = pltpu.make_async_copy(
@@ -327,6 +331,28 @@ def _affine_warp_kernel(coef_ref, xmap_ref, smat_ref, img_hbm, o_ref, box,
                           precision=precision)
 
 
+def affine_warp_supported(img_shape, tile=(8, 32),
+                          s_bound: float = 2.25) -> bool:
+    """True when the compiled-TPU path handles this image shape: the full
+    (unclamped) box must fit inside the image so every DMA keeps its static
+    8-sublane/128-lane alignment. Smaller images (tiny test configs) clamp
+    the box to the image and may issue unaligned copies — route those to the
+    XLA gather path (interpret mode doesn't care)."""
+    _, h, w, c = img_shape
+    th, tw = tile
+    span = int(math.ceil(s_bound * (th + tw - 2))) + 3
+    align = 128 // math.gcd(128, c)
+    bh = -(-(span + 8) // 8) * 8
+    bw = -(-(span + align) // align) * align
+    # the wrapper zero-pads the physical array up to (8, `align`) multiples
+    # (hardware check: an unaligned 1030²·6 source produced max-err 1.0 vs
+    # the float64 oracle — Mosaic DMA needs the tiled minor dims), so
+    # support only requires the padded image to contain one full box
+    hp = -(-h // 8) * 8
+    wp = -(-w // align) * align
+    return hp >= bh and wp >= bw
+
+
 def affine_warp_bilinear_pallas(img, coef, out_hw, s_bound: float = 2.25,
                                 tile=(8, 32), interpret: bool = False,
                                 precision=jax.lax.Precision.HIGHEST):
@@ -357,13 +383,21 @@ def affine_warp_bilinear_pallas(img, coef, out_hw, s_bound: float = 2.25,
     th, tw = tile
     assert tw & (tw - 1) == 0, "tile width must be a power of two"
     assert (th * tw) % 8 == 0
+    # physical array padded to (8, `align`)-multiples — Mosaic DMA silently
+    # corrupts copies from HBM arrays with unaligned minor dims (hardware
+    # check: unaligned 1030²·6 → max-err 1.0 vs the f64 oracle). Validity
+    # masks keep using the LOGICAL h, w, so padded pixels never leak in.
+    align = 128 // math.gcd(128, c)
+    hp = -(-h // 8) * 8
+    wp = -(-w // align) * align
+    if (hp, wp) != (h, w):
+        img = jnp.pad(img, ((0, 0), (0, hp - h), (0, wp - w), (0, 0)))
     # box extent: affine spread s·(th+tw-2), +3 for the floor-1…+2 corner
     # window, + alignment slack (8 sublanes / `align` lanes from aligning the
     # start down)
     span = int(math.ceil(s_bound * (th + tw - 2))) + 3
-    align = 128 // math.gcd(128, c)
-    bh = min(-(-(span + 8) // 8) * 8, h)
-    bw = min(-(-(span + align) // align) * align, w)
+    bh = min(-(-(span + 8) // 8) * 8, hp)
+    bw = min(-(-(span + align) // align) * align, wp)
     cpad = -(-c // 8) * 8
     njt = pl.cdiv(ho, th)
     nit = pl.cdiv(wo, tw)
@@ -375,7 +409,8 @@ def affine_warp_bilinear_pallas(img, coef, out_hw, s_bound: float = 2.25,
     smat = jnp.asarray(smat_np)
 
     kern = functools.partial(_affine_warp_kernel, th=th, tw=tw, bh=bh, bw=bw,
-                             c=c, h=h, w=w, align=align, precision=precision)
+                             c=c, h=h, w=w, hp=hp, wp=wp, align=align,
+                             precision=precision)
     coef8 = jnp.pad(coef.astype(jnp.float32), ((0, 0), (0, 2)))
     out = pl.pallas_call(
         kern,
@@ -397,7 +432,7 @@ def affine_warp_bilinear_pallas(img, coef, out_hw, s_bound: float = 2.25,
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
-    )(coef8, xmap, smat, img.astype(jnp.float32).reshape(n, h, w * c))
+    )(coef8, xmap, smat, img.astype(jnp.float32).reshape(n, hp, wp * c))
     out = out.reshape(n, njt, nit, th, tw, cpad)
     out = jnp.transpose(out, (0, 1, 3, 2, 4, 5)).reshape(
         n, njt * th, nit * tw, cpad

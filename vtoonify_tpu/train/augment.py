@@ -207,8 +207,12 @@ _affine_warp_kernelpath.defvjp(_affine_warp_fwd, _affine_warp_bwd)
 
 def _affine_warp(img, theta, out_hw):
     """grid_sample(affine grid) — Pallas one-hot-matmul kernel on TPU (TPU
-    gathers serialize; docs/PERF.md), XLA gathers elsewhere."""
-    if (_FORCE_KERNEL or _on_tpu()) and img.dtype == jnp.float32:
+    gathers serialize; docs/PERF.md), XLA gathers elsewhere and for images
+    smaller than the kernel's DMA box (tiny debug configs)."""
+    from vtoonify_tpu.ops.pallas_kernels import affine_warp_supported
+
+    if ((_FORCE_KERNEL or _on_tpu()) and img.dtype == jnp.float32
+            and (_INTERPRET or affine_warp_supported(img.shape))):
         return _affine_warp_kernelpath(img, theta, out_hw)
     return _affine_warp_xla(img, theta, out_hw)
 

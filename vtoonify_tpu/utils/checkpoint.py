@@ -104,6 +104,16 @@ def infer_vtoonify_config(sd):
     num_res_layers = len(
         {k.split(".")[2] for k in sd if k.startswith(f"encoder.{res_stage}.")}
     )
+    if backbone == "dualstylegan" and num_res_layers > 6:
+        # the reference's `self.res` ModuleList is always 7 entries
+        # (model/vtoonify.py:203-209), so its own forward crashes past 6
+        # encoder resblocks (`self.res[ii+1]`, :236-239) — reject up front
+        # instead of failing mid-graph
+        raise ValueError(
+            f"checkpoint has {num_res_layers} encoder resblocks; the "
+            "dualstylegan backbone supports at most 6 (the ModRes bank has "
+            "7 entries, matching the reference)"
+        )
     return VToonifyConfig(in_size=in_size, out_size=out_size,
                           channel_multiplier=cm,
                           num_res_layers=num_res_layers, backbone=backbone)
