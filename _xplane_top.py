@@ -3,7 +3,7 @@ Usage: python _xplane_top.py /tmp/jax-trace-step [N]"""
 import glob, sys
 from collections import defaultdict
 
-from tensorflow.core.profiler.protobuf import xplane_pb2
+from tensorflow.tsl.profiler.protobuf import xplane_pb2
 
 logdir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/jax-trace"
 topn = int(sys.argv[2]) if len(sys.argv) > 2 else 30
@@ -33,9 +33,10 @@ for plane in xs.planes:
     for ln, t in sorted(total_by_line.items(), key=lambda kv: -kv[1])[:6]:
         print(f"   line {ln!r}: {t:.2f} ms total")
     # top ops on the busiest op-level line
-    oplines = [ln for ln in total_by_line if "XLA Ops" in ln or "Ops" in ln]
-    lines = oplines or list(total_by_line)
-    best = max(lines, key=lambda ln: total_by_line[ln])
+    if "XLA Ops" in total_by_line:
+        best = "XLA Ops"
+    else:
+        best = max(total_by_line, key=lambda ln: total_by_line[ln])
     rows = [(k[1], v, cnt[k]) for k, v in agg.items() if k[0] == best]
     print(f"-- top ops on line {best!r}")
     for name, ms, n in sorted(rows, key=lambda r: -r[1])[:topn]:

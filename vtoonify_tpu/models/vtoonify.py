@@ -86,7 +86,10 @@ def init_fusion(key, in_ch, skip_ch, out_ch):
 
 def fusion_apply(p, f_G, f_E, d_s):
     b = f_G.shape[0]
-    label = jnp.zeros((b, 1), f_G.dtype) + d_s
+    # cast the (f32) degree scalar to the activation dtype: adding it raw
+    # promotes the label — and through m_E every downstream high-res stage —
+    # to f32, which cost ~15% of inference wall-clock in bf16 mode
+    label = jnp.zeros((b, 1), f_G.dtype) + jnp.asarray(d_s).astype(f_G.dtype)
     label = jax.nn.leaky_relu(L.linear_torch(p["linear"][0], label), 0.2)
     label = jax.nn.leaky_relu(L.linear_torch(p["linear"][1], label), 0.2)
     out = jnp.concatenate([f_G, jnp.abs(f_G - f_E)], axis=-1)

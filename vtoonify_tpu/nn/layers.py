@@ -418,7 +418,9 @@ def ada_res_block(p, x, style, w=1.0, dilation=1):
                      3, dilation=dilation)
     out = conv_layer(p["conv2"], adaptive_instance_norm(p["norm2"], out, style),
                      3, dilation=dilation)
-    return out * w + x
+    # keep the activation dtype: a traced f32 `w` would promote the residual
+    # (and everything downstream) to f32 in bf16 graphs
+    return out * jnp.asarray(w).astype(out.dtype) + x
 
 
 # ---------------------------------------------------------------------------
