@@ -22,8 +22,12 @@ def cast(t, dt):
 
 outs = {}
 for dt in (jnp.float32, jnp.bfloat16):
-    f = jax.jit(lambda fr, sw, ds, dt=dt: frame_graph(
-        cast(vt_params, dt), cfg, cast(parsing_params, dt), fr, sw, ds, dtype=dt))
-    outs[dt.__name__] = np.asarray(f(frames, s_w, d_s)).astype(np.int32)
+    # pass params as jit arguments (a closure would inline them as HLO
+    # constants — a ~GB remote-compile payload the relay rejects with 413)
+    f = jax.jit(lambda vp, pp, fr, sw, ds, dt=dt: frame_graph(
+        vp, cfg, pp, fr, sw, ds, dtype=dt))
+    outs[dt.__name__] = np.asarray(
+        f(cast(vt_params, dt), cast(parsing_params, dt), frames, s_w, d_s)
+    ).astype(np.int32)
 d = np.abs(outs["float32"] - outs["bfloat16"])
 print("uint8 LSB drift: max", d.max(), " mean", d.mean(), " p999", np.percentile(d, 99.9))

@@ -99,7 +99,7 @@ def test_affine_warp_unaligned_shape_padding():
 
     assert affine_warp_supported((1, 1030, 1030, 6))
     assert affine_warp_supported((1, 4126, 4126, 6))
-    assert not affine_warp_supported((1, 100, 100, 6))  # below one box
+    assert not affine_warp_supported((1, 80, 80, 6))  # below one box
 
     rng = np.random.RandomState(11)
     n, h, w, c = 1, 206, 210, 6  # h%8=6, (w*c)%128!=0
@@ -120,3 +120,13 @@ def test_affine_warp_unaligned_shape_padding():
     # equivalent in exact arithmetic but round differently in f32 — at
     # ~200 px coordinates that is a few e-4 of value difference
     np.testing.assert_allclose(np.asarray(out), ref, atol=1e-3)
+
+    # lowp (bfloat16 box storage — the TPU default-precision path): sampling
+    # positions stay exact; only lerp VALUES round through bf16, as DEFAULT
+    # MXU precision does anyway. [-1,1]-scale data → ≲1e-2 absolute.
+    img01 = jnp.asarray(np.tanh(np.asarray(img)))
+    out_lp = affine_warp_bilinear_pallas(img01, coef, (ho, wo),
+                                         interpret=True, lowp=True)
+    ref_lp = np.asarray(grid_sample(img01, grid, align_corners=False,
+                                    padding_mode="zeros"))
+    np.testing.assert_allclose(np.asarray(out_lp), ref_lp, atol=1.5e-2)

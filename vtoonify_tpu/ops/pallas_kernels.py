@@ -259,103 +259,169 @@ def modconv3x3_fused_pallas(x, w, s, d=None, act_bias=None,
 # |A| < 1.6 beyond 5σ; default bound 2.25). Pixels mapped outside the box
 # (out-of-distribution transforms) read as zeros — the same value the
 # zeros-padding mode gives out-of-image samples.
+#
+# v2 geometry (device-trace driven; the v1 kernel was the top op of the
+# stage-2 train step at 81 ms/iter, DMA-bound at ~78× read amplification):
+#   * square 16×16 tiles — the box span s·(th+tw-2) is minimized for a given
+#     tile area by square tiles (71 px vs 89 for 8×32);
+#   * channels padded to the next divisor of 128 (6→8 for the augment pair)
+#     so the lane alignment of box starts drops from 64 px to 128/cphys=16 px
+#     — alignment slack was 116% of the span on the 6-channel production shape;
+#   * `lowp` stores the image/box in bfloat16, halving DMA bytes. Error-free
+#     relative to DEFAULT precision: the MXU rounds both contraction operands
+#     to bf16 per pass anyway, so box values already passed through bf16 twice;
+#   * transposed (C, TP) output blocks — TP = th·tw ≥ 128 is the minor dim, so
+#     HBM writes are dense. The v1 (TP, C≤8) block was lane-padded to 128
+#     (16× write amplification, re-read by the reassembly transpose).
 
 
-def _affine_warp_kernel(coef_ref, xmap_ref, smat_ref, img_hbm, o_ref, box,
-                        sem, *, th, tw, bh, bw, c, h, w, hp, wp, align,
-                        precision):
+def _warp_geometry(h, w, c, tile, s_bound, lowp):
+    """Static box/alignment geometry shared by the wrapper and
+    `affine_warp_supported`. Returns
+    (sub, cphys, align, hp, wp, bh, bw):
+      sub: sublane tile of the storage dtype (rows align);
+      cphys: channels padded to a divisor of 128 (lane-exact alignment);
+      align: x-start alignment in pixels (= 128/cphys);
+      hp, wp: physical (padded) image dims;
+      bh, bw: unclamped DMA box dims (rows, pixels)."""
+    th, tw = tile
+    sub = 16 if lowp else 8
+    cphys = next((d for d in (1, 2, 4, 8, 16, 32, 64, 128) if d >= c),
+                 -(-c // 128) * 128)
+    align = max(1, 128 // cphys)
+    hp = -(-h // sub) * sub
+    wp = -(-w // align) * align
+    # box extent: affine spread s·(th+tw-2), +3 for the floor-1…+2 corner
+    # window, + alignment slack (sub sublanes / `align` lanes from aligning
+    # the start down)
+    span = int(math.ceil(s_bound * (th + tw - 2))) + 3
+    bh = -(-(span + sub) // sub) * sub
+    bw = -(-(span + align) // align) * align
+    return sub, cphys, align, hp, wp, bh, bw
+
+
+def _affine_warp_kernel(coef_ref, xmap_ref, smat_ref, img_hbm, o_ref, box2,
+                        sem2, *, th, tw, bh, bw, cphys, h, w, hp, wp, sub,
+                        align, precision, lowp, nit):
     # h, w: LOGICAL image bounds (zero-padding validity); hp, wp: physical
-    # array dims, padded so every DMA offset/size is (8, 128)-tile aligned —
-    # Mosaic silently corrupts copies from arrays with unaligned minor dims
+    # array dims, padded so every DMA offset/size is tile aligned — Mosaic
+    # silently corrupts copies from HBM arrays with unaligned minor dims.
+    #
+    # One grid step = one (n, j) output ROW STRIP; the x-tiles of the strip
+    # run in an inner fori_loop with double-buffered box DMAs. Measured on
+    # hardware: Mosaic's per-grid-step machinery costs ~4.2 µs — a no-op
+    # kernel over per-tile grid steps took 70 of the 87 ms total — so tiny
+    # tiles must amortize it through an inner loop, not the grid.
     n = pl.program_id(0)
-    j0 = (pl.program_id(1) * th).astype(jnp.int32)
-    i0 = (pl.program_id(2) * tw).astype(jnp.int32)
+    j = pl.program_id(1)
     ax, bx, cx = coef_ref[n, 0], coef_ref[n, 1], coef_ref[n, 2]
     ay, by, cy = coef_ref[n, 3], coef_ref[n, 4], coef_ref[n, 5]
-
-    j0f = j0.astype(jnp.float32)
-    i0f = i0.astype(jnp.float32)
+    j0f = (j * th).astype(jnp.float32)
     j1f = j0f + (th - 1)
-    i1f = i0f + (tw - 1)
-    # affine ⇒ per-tile coordinate extrema are at tile corners
-    fx_min = jnp.minimum(ax * i0f, ax * i1f) + jnp.minimum(bx * j0f, bx * j1f) + cx
-    fy_min = jnp.minimum(ay * i0f, ay * i1f) + jnp.minimum(by * j0f, by * j1f) + cy
-    # sublane-align the row start, lane-align the (W·C) DMA offset; the box
-    # carries enough slack (see wrapper) to cover the align-down
-    ys = jnp.clip(jnp.floor(fy_min).astype(jnp.int32) - 1, 0, hp - bh)
-    ys = (ys // 8) * 8
-    xs = jnp.clip(jnp.floor(fx_min).astype(jnp.int32) - 1, 0, wp - bw)
-    xs = (xs // align) * align
 
-    copy = pltpu.make_async_copy(
-        img_hbm.at[n, pl.ds(ys, bh), pl.ds(xs * c, bw * c)], box, sem
-    )
-    copy.start()
-    copy.wait()
+    def _src(g):
+        """HBM slice of the input box that x-tile g of this strip maps into."""
+        i0f = jnp.asarray(g * tw, jnp.float32)
+        i1f = i0f + (tw - 1)
+        # affine ⇒ per-tile coordinate extrema are at tile corners
+        fx_min = (jnp.minimum(ax * i0f, ax * i1f)
+                  + jnp.minimum(bx * j0f, bx * j1f) + cx)
+        fy_min = (jnp.minimum(ay * i0f, ay * i1f)
+                  + jnp.minimum(by * j0f, by * j1f) + cy)
+        # sublane-align the row start, lane-align the (W·C) DMA offset; the
+        # box carries enough slack (_warp_geometry) to cover the align-down
+        ys_ = jnp.clip(jnp.floor(fy_min).astype(jnp.int32) - 1, 0, hp - bh)
+        ys_ = (ys_ // sub) * sub
+        xs_ = jnp.clip(jnp.floor(fx_min).astype(jnp.int32) - 1, 0, wp - bw)
+        xs_ = (xs_ // align) * align
+        return ys_, xs_, img_hbm.at[n, pl.ds(ys_, bh),
+                                    pl.ds(xs_ * cphys, bw * cphys)]
 
+    def _issue(g, slot):
+        _, _, src = _src(g)
+        pltpu.make_async_copy(src, box2.at[slot], sem2.at[slot]).start()
+
+    _issue(0, 0)
+
+    mdt = jnp.bfloat16 if lowp else jnp.float32
     tp = th * tw
     ltw = tw.bit_length() - 1
     p = jax.lax.broadcasted_iota(jnp.int32, (tp, 1), 0)
-    jj = (j0 + (p >> ltw)).astype(jnp.float32)
-    ii = (i0 + (p & (tw - 1))).astype(jnp.float32)
-    fx = ax * ii + bx * jj + cx                      # (tp, 1)
-    fy = ay * ii + by * jj + cy
-    x0f = jnp.floor(fx)
-    y0f = jnp.floor(fy)
-    wx = fx - x0f
-    wy = fy - y0f
-    x0 = x0f.astype(jnp.int32)
-    y0 = y0f.astype(jnp.int32)
-
-    # per-axis corner validity (global image bounds, zeros padding)
-    vy0 = ((y0 >= 0) & (y0 <= h - 1)).astype(jnp.float32)
-    vy1 = ((y0 >= -1) & (y0 <= h - 2)).astype(jnp.float32)
-    vx0 = ((x0 >= 0) & (x0 <= w - 1)).astype(jnp.float32)
-    vx1 = ((x0 >= -1) & (x0 <= w - 2)).astype(jnp.float32)
-
-    ly0 = y0 - ys                                    # (tp, 1) box-local rows
-    lx0 = x0 - xs
-
+    jj = ((j * th) + (p >> ltw)).astype(jnp.float32)
+    pi = (p & (tw - 1)).astype(jnp.float32)
     rio = jax.lax.broadcasted_iota(jnp.int32, (tp, bh), 1)
-    w_y = (jnp.where(rio == ly0, (1.0 - wy) * vy0, 0.0)
-           + jnp.where(rio == ly0 + 1, wy * vy1, 0.0))
-    t1 = jnp.dot(w_y, box[...], preferred_element_type=jnp.float32,
-                 precision=precision)
+    xq = xmap_ref[...]                               # (1, bw·cphys): lane → x
 
-    xq = xmap_ref[...]                               # (1, bw·c): lane → x
-    wxe = (jnp.where(xq == lx0, (1.0 - wx) * vx0, 0.0)
-           + jnp.where(xq == lx0 + 1, wx * vx1, 0.0))
-    # channel re-collection: smat[k, k mod c] = 1 sums each channel's lanes
-    o_ref[0, 0] = jnp.dot(t1 * wxe, smat_ref[...],
-                          preferred_element_type=jnp.float32,
-                          precision=precision)
+    def body(g, carry):
+        slot = jax.lax.rem(g, 2)
+
+        @pl.when(g < nit - 1)
+        def _():
+            _issue(g + 1, 1 - slot)
+
+        ys, xs, src = _src(g)
+        pltpu.make_async_copy(src, box2.at[slot], sem2.at[slot]).wait()
+        box = box2.at[slot]
+
+        ii = (g * tw).astype(jnp.float32) + pi       # (tp, 1)
+        fx = ax * ii + bx * jj + cx
+        fy = ay * ii + by * jj + cy
+        x0f = jnp.floor(fx)
+        y0f = jnp.floor(fy)
+        wx = fx - x0f
+        wy = fy - y0f
+        x0 = x0f.astype(jnp.int32)
+        y0 = y0f.astype(jnp.int32)
+
+        # per-axis corner validity (global image bounds, zeros padding)
+        vy0 = ((y0 >= 0) & (y0 <= h - 1)).astype(jnp.float32)
+        vy1 = ((y0 >= -1) & (y0 <= h - 2)).astype(jnp.float32)
+        vx0 = ((x0 >= 0) & (x0 <= w - 1)).astype(jnp.float32)
+        vx1 = ((x0 >= -1) & (x0 <= w - 2)).astype(jnp.float32)
+
+        ly0 = y0 - ys                                # (tp, 1) box-local rows
+        lx0 = x0 - xs
+
+        # lerp VALUES may round through bf16 in lowp mode — identical to
+        # what DEFAULT MXU precision does to f32 operands per pass
+        w_y = (jnp.where(rio == ly0, (1.0 - wy) * vy0, 0.0)
+               + jnp.where(rio == ly0 + 1, wy * vy1, 0.0))
+        t1 = jnp.dot(w_y.astype(mdt), box[...],
+                     preferred_element_type=jnp.float32, precision=precision)
+
+        wxe = (jnp.where(xq == lx0, (1.0 - wx) * vx0, 0.0)
+               + jnp.where(xq == lx0 + 1, wx * vx1, 0.0))
+        # channel re-collection: smat[k mod cphys, k] = 1 sums each
+        # channel's lanes; transposed result (cphys, tp) keeps the out
+        # block's minor dim a lane multiple so HBM writes stay dense
+        res = jax.lax.dot_general(
+            smat_ref[...], (t1 * wxe).astype(mdt), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=precision,
+        )
+        o_ref[0, 0, pl.ds(g * cphys, cphys), :] = res
+        return carry
+
+    jax.lax.fori_loop(0, nit, body, 0)
 
 
-def affine_warp_supported(img_shape, tile=(8, 32),
-                          s_bound: float = 2.25) -> bool:
+def affine_warp_supported(img_shape, tile=(16, 16), s_bound: float = 2.25,
+                          lowp: bool = True) -> bool:
     """True when the compiled-TPU path handles this image shape: the full
-    (unclamped) box must fit inside the image so every DMA keeps its static
-    8-sublane/128-lane alignment. Smaller images (tiny test configs) clamp
+    (unclamped) box must fit inside the padded image so every DMA keeps its
+    static sublane/lane alignment. Smaller images (tiny test configs) clamp
     the box to the image and may issue unaligned copies — route those to the
-    XLA gather path (interpret mode doesn't care)."""
+    XLA gather path (interpret mode doesn't care). Checked with lowp=True
+    (the stricter 16-sublane geometry), so a supported shape works in both
+    storage dtypes."""
     _, h, w, c = img_shape
-    th, tw = tile
-    span = int(math.ceil(s_bound * (th + tw - 2))) + 3
-    align = 128 // math.gcd(128, c)
-    bh = -(-(span + 8) // 8) * 8
-    bw = -(-(span + align) // align) * align
-    # the wrapper zero-pads the physical array up to (8, `align`) multiples
-    # (hardware check: an unaligned 1030²·6 source produced max-err 1.0 vs
-    # the float64 oracle — Mosaic DMA needs the tiled minor dims), so
-    # support only requires the padded image to contain one full box
-    hp = -(-h // 8) * 8
-    wp = -(-w // align) * align
+    _, _, _, hp, wp, bh, bw = _warp_geometry(h, w, c, tile, s_bound, lowp)
     return hp >= bh and wp >= bw
 
 
 def affine_warp_bilinear_pallas(img, coef, out_hw, s_bound: float = 2.25,
-                                tile=(8, 32), interpret: bool = False,
-                                precision=jax.lax.Precision.HIGHEST):
+                                tile=(16, 16), interpret: bool = False,
+                                precision=jax.lax.Precision.HIGHEST,
+                                lowp=None):
     """Bilinear warp of an NHWC image along a per-sample PIXEL-space affine.
 
     Args:
@@ -372,6 +438,10 @@ def affine_warp_bilinear_pallas(img, coef, out_hw, s_bound: float = 2.25,
         5.5e-3 vs a float64 oracle) at full speed; HIGHEST is f32-exact
         (2.6e-4 vs the same oracle — pure f32 rounding) at ~6× the MXU cost.
         Mosaic does not implement HIGH.
+      lowp: store the image/box in bfloat16, halving the DMA traffic that
+        dominates the kernel. None → True iff precision is DEFAULT (whose
+        MXU passes round the same operands to bf16 regardless, so lowp
+        storage adds no error class — measured 5.8e-3 vs the f64 oracle).
 
     Returns (N, Ho, Wo, C) float32 — grid_sample(mode='bilinear',
     padding_mode='zeros') of the equivalent affine grid.
@@ -381,41 +451,40 @@ def affine_warp_bilinear_pallas(img, coef, out_hw, s_bound: float = 2.25,
     n, h, w, c = img.shape
     ho, wo = out_hw
     th, tw = tile
+    if lowp is None:
+        lowp = precision == jax.lax.Precision.DEFAULT
     assert tw & (tw - 1) == 0, "tile width must be a power of two"
-    assert (th * tw) % 8 == 0
-    # physical array padded to (8, `align`)-multiples — Mosaic DMA silently
+    assert (th * tw) % 128 == 0, "out minor dim th·tw must be a lane multiple"
+    sub, cphys, align, hp, wp, bh, bw = _warp_geometry(
+        h, w, c, tile, s_bound, lowp)
+    # physical array padded to (sub, `align`)-multiples — Mosaic DMA silently
     # corrupts copies from HBM arrays with unaligned minor dims (hardware
     # check: unaligned 1030²·6 → max-err 1.0 vs the f64 oracle). Validity
     # masks keep using the LOGICAL h, w, so padded pixels never leak in.
-    align = 128 // math.gcd(128, c)
-    hp = -(-h // 8) * 8
-    wp = -(-w // align) * align
-    if (hp, wp) != (h, w):
-        img = jnp.pad(img, ((0, 0), (0, hp - h), (0, wp - w), (0, 0)))
-    # box extent: affine spread s·(th+tw-2), +3 for the floor-1…+2 corner
-    # window, + alignment slack (8 sublanes / `align` lanes from aligning the
-    # start down)
-    span = int(math.ceil(s_bound * (th + tw - 2))) + 3
-    bh = min(-(-(span + 8) // 8) * 8, hp)
-    bw = min(-(-(span + align) // align) * align, wp)
-    cpad = -(-c // 8) * 8
+    if (hp, wp, cphys) != (h, w, c):
+        img = jnp.pad(
+            img, ((0, 0), (0, hp - h), (0, wp - w), (0, cphys - c)))
+    bh = min(bh, hp)
+    bw = min(bw, wp)
+    st = jnp.bfloat16 if lowp else jnp.float32
     njt = pl.cdiv(ho, th)
     nit = pl.cdiv(wo, tw)
     tp = th * tw
 
-    xmap = jnp.asarray(np.arange(bw * c, dtype=np.int32) // c)[None]
-    smat_np = np.zeros((bw * c, cpad), np.float32)
-    smat_np[np.arange(bw * c), np.arange(bw * c) % c] = 1.0
-    smat = jnp.asarray(smat_np)
+    xmap = jnp.asarray(np.arange(bw * cphys, dtype=np.int32) // cphys)[None]
+    smat_np = np.zeros((cphys, bw * cphys), np.float32)
+    smat_np[np.arange(bw * cphys) % cphys, np.arange(bw * cphys)] = 1.0
+    smat = jnp.asarray(smat_np, dtype=st)              # 0/1: exact in bf16
 
     kern = functools.partial(_affine_warp_kernel, th=th, tw=tw, bh=bh, bw=bw,
-                             c=c, h=h, w=w, hp=hp, wp=wp, align=align,
-                             precision=precision)
+                             cphys=cphys, h=h, w=w, hp=hp, wp=wp, sub=sub,
+                             align=align, precision=precision, lowp=lowp,
+                             nit=nit)
     coef8 = jnp.pad(coef.astype(jnp.float32), ((0, 0), (0, 2)))
     out = pl.pallas_call(
         kern,
-        out_shape=jax.ShapeDtypeStruct((n, njt * nit, tp, cpad), jnp.float32),
-        grid=(n, njt, nit),
+        out_shape=jax.ShapeDtypeStruct((n, njt, nit * cphys, tp), jnp.float32),
+        grid=(n, njt),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),      # coef (whole, scalar)
             pl.BlockSpec(memory_space=pltpu.VMEM),      # lane → x map
@@ -423,18 +492,18 @@ def affine_warp_bilinear_pallas(img, coef, out_hw, s_bound: float = 2.25,
             pl.BlockSpec(memory_space=pl.ANY),          # img (HBM)
         ],
         out_specs=pl.BlockSpec(
-            (1, 1, tp, cpad),
-            lambda ni, j, i: (ni, j * nit + i, 0, 0),
+            (1, 1, nit * cphys, tp),
+            lambda ni, j: (ni, j, 0, 0),
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
-            pltpu.VMEM((bh, bw * c), jnp.float32),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, bh, bw * cphys), st),     # double-buffered boxes
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
-    )(coef8, xmap, smat, img.astype(jnp.float32).reshape(n, hp, wp * c))
-    out = out.reshape(n, njt, nit, th, tw, cpad)
-    out = jnp.transpose(out, (0, 1, 3, 2, 4, 5)).reshape(
-        n, njt * th, nit * tw, cpad
+    )(coef8, xmap, smat, img.astype(st).reshape(n, hp, wp * cphys))
+    out = out.reshape(n, njt, nit, cphys, th, tw)
+    out = jnp.transpose(out, (0, 1, 4, 2, 5, 3)).reshape(
+        n, njt * th, nit * tw, cphys
     )
     return out[:, :ho, :wo, :c]
