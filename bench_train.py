@@ -14,8 +14,9 @@ Stages:
 
 Env knobs: TRAIN_BENCH_STAGE (both|pretrain|full), TRAIN_BENCH_BATCH_PRE (8),
 TRAIN_BENCH_BATCH_FULL (2), TRAIN_BENCH_BF16 (0; 1 = bfloat16 forwards with
-f32 master weights — the --bf16 trainer flag), TRAIN_BENCH_REMAT (1; 0 = no
-rematerialization of the G forwards/LPIPS), TRAIN_BENCH_ITERS (4).
+f32 master weights — the --bf16 trainer flag), TRAIN_BENCH_SYNTH_FP32 (0;
+1 = keep data synthesis f32, the --synth_fp32 flag), TRAIN_BENCH_REMAT (1;
+0 = no rematerialization of the G forwards/LPIPS), TRAIN_BENCH_ITERS (4).
 
 State is donated exactly as in the CLI, and iterations are serialized by the
 state dependency, so per-call dispatch overhead is pipelined away; the first
@@ -108,6 +109,9 @@ def bench_full(batch, n_iters, compute_dtype):
     lpips_params = init_lpips(ks[6])
     tcfg = TrainDConfig(
         compute_dtype=compute_dtype,
+        synth_dtype=("float32"
+                     if os.environ.get("TRAIN_BENCH_SYNTH_FP32", "0") == "1"
+                     else None),
         remat=os.environ.get("TRAIN_BENCH_REMAT", "1") == "1",
     )
 

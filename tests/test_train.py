@@ -352,3 +352,39 @@ def test_train_steps_bf16_mixed_precision(tiny_bundle):
         (dstate2.trainable, dstate2.d_params, dstate2.ema)
     ):
         assert leaf.dtype == jnp.float32
+
+
+def test_synth_dtype_bf16_tracks_f32(tiny_bundle):
+    """bf16 data synthesis (synth_dtype following compute_dtype under --bf16)
+    stays bf16 end to end — no f32 leaf (RNG draw, scalar) silently promotes
+    the teacher forwards back to f32 — and its targets track the f32
+    synthesis within low-precision rounding. --synth_fp32 (synth_dtype=
+    'float32') restores the f32 path exactly."""
+    from vtoonify_tpu.train import synth
+    from vtoonify_tpu.train.steps import _mp_cast, _synth_cast
+
+    vt_params, parsing_params, directions, styles = tiny_bundle
+    key = jax.random.PRNGKey(71)
+    style2 = jnp.broadcast_to(styles[0:1], (2,) + styles.shape[1:])
+    d_s = jnp.asarray(0.5)
+
+    b32 = synth.synth_pretrain_batch(
+        key, vt_params, TINY, parsing_params, directions, style2, d_s)
+    castp, _ = _mp_cast("bfloat16")
+    b16 = synth.synth_pretrain_batch(
+        key, castp(vt_params), TINY, castp(parsing_params),
+        castp(directions), castp(style2), castp(d_s))
+
+    for k, v in b16.items():
+        assert v.dtype == jnp.bfloat16, (k, v.dtype)  # no promotion leak
+    for k in b32:
+        a = np.asarray(b32[k], np.float32)
+        b = np.asarray(b16[k], np.float32)
+        scale = max(1.0, float(np.abs(a).max()))
+        assert np.abs(a - b).max() < 0.06 * scale, (
+            k, float(np.abs(a - b).max()), scale)
+
+    # "float32" forces identity casts (the --synth_fp32 escape hatch)
+    scast, sup = _synth_cast("float32", "bfloat16")
+    t = jnp.ones((2,), jnp.float32)
+    assert scast(t).dtype == jnp.float32 and sup(t).dtype == jnp.float32

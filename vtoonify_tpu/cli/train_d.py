@@ -81,9 +81,15 @@ def build_parser():
                         "(loadable by the reference style_transfer.py/demo) "
                         "alongside the Orbax pytrees")
     p.add_argument("--bf16", action="store_true",
-                   help="run the student/D/LPIPS forwards in bfloat16 "
-                        "(float32 master weights, optimizer state and loss "
-                        "arithmetic) — halves activation HBM, MXU-native")
+                   help="run the student/D/LPIPS forwards AND the frozen-"
+                        "teacher data synthesis in bfloat16 (float32 master "
+                        "weights, optimizer state and loss arithmetic) — "
+                        "halves activation HBM, MXU-native")
+    p.add_argument("--synth_fp32", action="store_true",
+                   help="with --bf16: keep the frozen-teacher data synthesis "
+                        "(StyleGAN/DualStyleGAN/BiSeNet + augmentation) in "
+                        "float32; targets then match the f32 trainer exactly "
+                        "at ~25%% more step time")
     p.add_argument("--matmul_precision", type=str, default=None,
                    choices=["default", "high", "highest"],
                    help="XLA f32 matmul/conv precision. The TPU default is a "
@@ -205,7 +211,7 @@ def main(argv=None):
         frozen = shard_params(frozen, mesh, tp=args.tp > 1)
         parsing_sh = shard_params(parsing_params, mesh)
         step_fn = jax.jit(pretrain_step, donate_argnums=(0,),
-                          static_argnames=("cfg", "lr", "compute_dtype"))
+                          static_argnames=("cfg", "lr", "compute_dtype", "synth_dtype"))
         t0 = time.time()
         for idx in range(args.start_iter, args.iter):
             # d_s schedule (train_vtoonify_d.py:108-112)
@@ -225,6 +231,7 @@ def main(argv=None):
                 state, frozen, parsing_sh, cfg, directions, style,
                 jnp.asarray(d_s, jnp.float32), sub, lr=args.lr,
                 compute_dtype="bfloat16" if args.bf16 else None,
+                synth_dtype="float32" if args.synth_fp32 else None,
             )
             if args.profile:
                 tracer.after(idx, metrics)
@@ -294,6 +301,7 @@ def main(argv=None):
         perc_loss=args.perc_loss, tmp_loss=args.tmp_loss,
         msk_loss=args.msk_loss, lr=args.lr,
         compute_dtype="bfloat16" if args.bf16 else None,
+        synth_dtype="float32" if args.synth_fp32 else None,
         **({"crop_size": 96, "lpips_size": 64, "aug_max_pad": 40}
            if args.tiny else {}),
     )

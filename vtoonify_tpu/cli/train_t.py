@@ -73,9 +73,15 @@ def build_parser():
                         "(loadable by the reference style_transfer.py/demo) "
                         "alongside the Orbax pytrees")
     p.add_argument("--bf16", action="store_true",
-                   help="run the student/D/LPIPS forwards in bfloat16 "
-                        "(float32 master weights, optimizer state and loss "
-                        "arithmetic) — halves activation HBM, MXU-native")
+                   help="run the student/D/LPIPS forwards AND the frozen-"
+                        "teacher data synthesis in bfloat16 (float32 master "
+                        "weights, optimizer state and loss arithmetic) — "
+                        "halves activation HBM, MXU-native")
+    p.add_argument("--synth_fp32", action="store_true",
+                   help="with --bf16: keep the frozen-teacher data synthesis "
+                        "(StyleGAN/DualStyleGAN/BiSeNet + augmentation) in "
+                        "float32; targets then match the f32 trainer exactly "
+                        "at ~25%% more step time")
     p.add_argument("--matmul_precision", type=str, default=None,
                    choices=["default", "high", "highest"],
                    help="XLA f32 matmul/conv precision. The TPU default is a "
@@ -163,7 +169,7 @@ def main(argv=None):
         parsing_sh = shard_params(parsing_params, mesh)
         step_fn = jax.jit(pretrain_t_step, donate_argnums=(0,),
                           static_argnames=("cfg", "batch", "lr",
-                                           "compute_dtype"))
+                                           "compute_dtype", "synth_dtype"))
         t0 = time.time()
         for idx in range(args.start_iter, args.iter):
             key, sub = jax.random.split(key)
@@ -173,6 +179,7 @@ def main(argv=None):
                 state, frozen, base_sh, parsing_sh, cfg, directions,
                 args.batch, sub, lr=args.lr,
                 compute_dtype="bfloat16" if args.bf16 else None,
+                synth_dtype="float32" if args.synth_fp32 else None,
             )
             if args.profile:
                 tracer.after(idx, metrics)
@@ -230,7 +237,8 @@ def main(argv=None):
     tcfg = TrainDConfig(adv_loss=args.adv_loss, grec_loss=args.grec_loss,
                         perc_loss=args.perc_loss, tmp_loss=args.tmp_loss,
                         lr=args.lr,
-                        compute_dtype="bfloat16" if args.bf16 else None)
+                        compute_dtype="bfloat16" if args.bf16 else None,
+                        synth_dtype="float32" if args.synth_fp32 else None)
 
     _, frozen = split_trainable(vt_params, pretrain=False)
     state = init_train_t_state(vt_params, d_params, tcfg)

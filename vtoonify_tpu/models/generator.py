@@ -168,8 +168,12 @@ def styles_to_latent(
     return latent
 
 
-def make_noise(params, cfg: GeneratorConfig, key=None, randomize=True, batch=1):
-    """Per-layer noise images: random or the stored buffers."""
+def make_noise(params, cfg: GeneratorConfig, key=None, randomize=True,
+               batch=1, dtype=jnp.float32):
+    """Per-layer noise images: random or the stored buffers. `dtype` casts
+    the draws (sampled in float32 so the random values match the f32 path
+    bit-for-bit before rounding) — an f32 noise image added to a bf16
+    synthesis pass would silently promote the whole tail back to f32."""
     if not randomize:
         return list(params["noises"])
     assert key is not None
@@ -178,7 +182,7 @@ def make_noise(params, cfg: GeneratorConfig, key=None, randomize=True, batch=1):
         jax.random.normal(
             keys[i], (batch, 2 ** ((i + 5) // 2), 2 ** ((i + 5) // 2), 1),
             jnp.float32,
-        )
+        ).astype(dtype)
         for i in range(cfg.num_layers)
     ]
 

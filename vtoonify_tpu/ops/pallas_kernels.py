@@ -398,7 +398,7 @@ def _affine_warp_kernel(coef_ref, xmap_ref, smat_ref, img_hbm, o_ref, box2,
             smat_ref[...], (t1 * wxe).astype(mdt), (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32, precision=precision,
         )
-        o_ref[0, 0, pl.ds(g * cphys, cphys), :] = res
+        o_ref[0, 0, pl.ds(g * cphys, cphys), :] = res.astype(o_ref.dtype)
         return carry
 
     jax.lax.fori_loop(0, nit, body, 0)
@@ -443,8 +443,12 @@ def affine_warp_bilinear_pallas(img, coef, out_hw, s_bound: float = 2.25,
         MXU passes round the same operands to bf16 regardless, so lowp
         storage adds no error class — measured 5.8e-3 vs the f64 oracle).
 
-    Returns (N, Ho, Wo, C) float32 — grid_sample(mode='bilinear',
-    padding_mode='zeros') of the equivalent affine grid.
+    Returns (N, Ho, Wo, C) `img.dtype` — grid_sample(mode='bilinear',
+    padding_mode='zeros') of the equivalent affine grid (the XLA path's
+    input-dtype-out convention). In lowp mode the kernel emits bf16 and the
+    cast to img.dtype happens after the reassembly transpose, keeping that
+    transpose at half bandwidth — the values already rounded through bf16
+    in the contractions, so this loses nothing.
     """
     import numpy as np
 
@@ -481,9 +485,13 @@ def affine_warp_bilinear_pallas(img, coef, out_hw, s_bound: float = 2.25,
                              align=align, precision=precision, lowp=lowp,
                              nit=nit)
     coef8 = jnp.pad(coef.astype(jnp.float32), ((0, 0), (0, 2)))
+    # lowp: emit bf16 straight from the kernel — the values already rounded
+    # through bf16 in the contractions, and a half-width output halves the
+    # reassembly-transpose bytes; cast to the caller's dtype after the crop
+    # (XLA folds the convert into the downstream consumer)
     out = pl.pallas_call(
         kern,
-        out_shape=jax.ShapeDtypeStruct((n, njt, nit * cphys, tp), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n, njt, nit * cphys, tp), st),
         grid=(n, njt),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),      # coef (whole, scalar)
@@ -506,4 +514,4 @@ def affine_warp_bilinear_pallas(img, coef, out_hw, s_bound: float = 2.25,
     out = jnp.transpose(out, (0, 1, 4, 2, 5, 3)).reshape(
         n, njt * th, nit * tw, cphys
     )
-    return out[:, :ho, :wo, :c]
+    return out[:, :ho, :wo, :c].astype(img.dtype)

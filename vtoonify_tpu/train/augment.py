@@ -185,9 +185,12 @@ def _affine_warp_kernelpath(img, theta, out_hw):
 
 
 def _affine_warp_xla(img, theta, out_hw):
+    # the grid stays float32 whatever the image dtype — bf16 coordinates
+    # carry ~1 px of rounding at production sizes (8-bit mantissa); only the
+    # interpolated VALUES may round through the image dtype
     grid = _affine_grid(theta, out_hw, align_corners=False)
-    return grid_sample(img, grid.astype(img.dtype), align_corners=False,
-                       padding_mode="zeros")
+    return grid_sample(img, grid.astype(jnp.float32), align_corners=False,
+                       padding_mode="zeros").astype(img.dtype)
 
 
 def _affine_warp_fwd(img, theta, out_hw):
@@ -211,7 +214,8 @@ def _affine_warp(img, theta, out_hw):
     smaller than the kernel's DMA box (tiny debug configs)."""
     from vtoonify_tpu.ops.pallas_kernels import affine_warp_supported
 
-    if ((_FORCE_KERNEL or _on_tpu()) and img.dtype == jnp.float32
+    if ((_FORCE_KERNEL or _on_tpu())
+            and img.dtype in (jnp.float32, jnp.bfloat16)
             and (_INTERPRET or affine_warp_supported(img.shape))):
         return _affine_warp_kernelpath(img, theta, out_hw)
     return _affine_warp_xla(img, theta, out_hw)

@@ -69,6 +69,19 @@ def _mp_cast(compute_dtype):
     return _to(dt), _to(jnp.float32)
 
 
+def _synth_cast(synth_dtype, compute_dtype):
+    """(castp, up) for the frozen-teacher data synthesis: `synth_dtype`
+    falling back to `compute_dtype`; "float32" forces identity. Casting the
+    teacher params (and every float operand entering the synthesis — a
+    single f32 scalar would promote the whole bf16 subgraph back to f32)
+    runs synthesis + augmentation at half bandwidth; targets are cast back
+    to float32 at the boundary so all loss arithmetic stays f32."""
+    sdt = compute_dtype if synth_dtype is None else synth_dtype
+    if sdt is not None and jnp.dtype(sdt) == jnp.float32:
+        sdt = None
+    return _mp_cast(sdt)
+
+
 class PretrainState(NamedTuple):
     encoder: dict          # trainable encoder params
     ema_encoder: dict
@@ -117,13 +130,15 @@ def pretrain_step(
     key,
     lr: float = 1e-4,
     compute_dtype: Optional[str] = None,
+    synth_dtype: Optional[str] = None,
 ):
     """reference pretrain() body (train_vtoonify_d.py:99-151)."""
     opt = make_optimizer(lr)
-    batch = synth.synth_pretrain_batch(
-        key, {**frozen, "encoder": state.encoder}, cfg, parsing_params,
-        directions, style, d_s,
-    )
+    scast, sup = _synth_cast(synth_dtype, compute_dtype)
+    batch = sup(synth.synth_pretrain_batch(
+        key, scast({**frozen, "encoder": state.encoder}), cfg,
+        scast(parsing_params), scast(directions), scast(style), scast(d_s),
+    ))
     castp, up = _mp_cast(compute_dtype)
     frozen_c = castp(frozen)
     inp_c = castp(batch["real_input"])
@@ -166,8 +181,13 @@ class TrainDConfig(NamedTuple):
     # otherwise exceed one chip's HBM at the 1024px production config)
     compute_dtype: Optional[str] = None  # e.g. "bfloat16": run the student/D/
     # LPIPS forwards in low precision with float32 master weights, optimizer
-    # state and loss arithmetic (data synthesis stays float32 — the frozen
-    # teacher is the numerically sensitive half)
+    # state and loss arithmetic
+    synth_dtype: Optional[str] = None  # dtype of the frozen-teacher data
+    # synthesis (StyleGAN/DualStyleGAN/BiSeNet forwards + augmentation).
+    # None → follow compute_dtype; "float32" forces the old f32 synthesis.
+    # bf16 synthesis shifts targets by ≲1–2 uint8 LSB (the same bound the
+    # bf16 inference graph measures vs f32, _drift_check.py) and roughly
+    # halves the synthesis+augment bandwidth.
 
 
 def init_train_d_state(vt_params, d_params, batch: int,
@@ -215,12 +235,15 @@ def train_d_step(
     k_synth, k_crop = jax.random.split(key)
 
     vt_all = {**frozen, **state.trainable}
-    batch_data = synth.synth_train_batch(
-        k_synth, vt_all, cfg, parsing_params, psp_params, psp_cfg, latent_avg,
-        directions, style, d_s, weights, state.wc_prev, color_fuse_t,
-        use_color_jitter, xl_override=xl_override, aug_p=tcfg.aug_p,
+    scast, sup = _synth_cast(tcfg.synth_dtype, tcfg.compute_dtype)
+    batch_data = sup(synth.synth_train_batch(
+        k_synth, scast(vt_all), cfg, scast(parsing_params),
+        scast(psp_params), psp_cfg, scast(latent_avg), scast(directions),
+        scast(style), scast(d_s), scast(weights), scast(state.wc_prev),
+        scast(color_fuse_t), use_color_jitter,
+        xl_override=scast(xl_override), aug_p=tcfg.aug_p,
         aug_max_pad=tcfg.aug_max_pad,
-    )
+    ))
     xl = batch_data["xl"]
     b = style.shape[0]
     degree_label = jnp.zeros((b, 1)) + d_s
@@ -355,14 +378,16 @@ def pretrain_t_step(
     key,
     lr: float = 1e-4,
     compute_dtype: Optional[str] = None,
+    synth_dtype: Optional[str] = None,
 ):
     """reference train_vtoonify_t.py pretrain() body (:99-135)."""
     opt = make_optimizer(lr)
     vt_all = {**frozen, "encoder": state.encoder}
-    data = synth.synth_pretrain_t_batch(
-        key, base_params, cfg.generator, vt_all, cfg, parsing_params,
-        directions, batch,
-    )
+    scast, sup = _synth_cast(synth_dtype, compute_dtype)
+    data = sup(synth.synth_pretrain_t_batch(
+        key, scast(base_params), cfg.generator, scast(vt_all), cfg,
+        scast(parsing_params), scast(directions), batch,
+    ))
     castp, up = _mp_cast(compute_dtype)
     frozen_c = castp(frozen)
     inp_c = castp(data["real_input"])
@@ -434,11 +459,13 @@ def train_t_step(
     k_synth, k_crop = jax.random.split(key)
 
     vt_all = {**frozen, **state.trainable}
-    data = synth.synth_train_t_batch(
-        k_synth, base_params, cfg.generator, vt_all, cfg, parsing_params,
-        psp_params, psp_cfg, latent_avg, directions, batch,
+    scast, sup = _synth_cast(tcfg.synth_dtype, tcfg.compute_dtype)
+    data = sup(synth.synth_train_t_batch(
+        k_synth, scast(base_params), cfg.generator, scast(vt_all), cfg,
+        scast(parsing_params), scast(psp_params), psp_cfg,
+        scast(latent_avg), scast(directions), batch,
         aug_p=tcfg.aug_p, aug_max_pad=tcfg.aug_max_pad,
-    )
+    ))
     xl = data["xl"]
     pool_to_256 = max(1, cfg.out_size // dcfg.size)
 

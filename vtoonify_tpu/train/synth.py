@@ -29,13 +29,26 @@ def down(x):
     return downsample_2x(x, BLUR_1D.astype(x.dtype))
 
 
+def _wdtype(params):
+    """Working dtype of a (possibly low-precision-cast) param tree. The
+    synthesis graph is dtype-polymorphic — the trainers opt into bf16 data
+    synthesis by casting the frozen teacher params (steps._mp_cast); every
+    RNG draw here follows this dtype so no f32 leaf silently promotes the
+    teacher forwards back to float32 (see the f32-promotion-leak note in
+    docs/PERF.md)."""
+    for leaf in jax.tree_util.tree_leaves(params):
+        if jnp.issubdtype(leaf.dtype, jnp.floating):
+            return leaf.dtype
+    return jnp.float32
+
+
 def sample_content_w_batch(key, gen_params, gcfg: G.GeneratorConfig,
                            directions, batch: int):
     """w' = repeat_n(MLP(z)) with editing noise on layers 3:7
     (train_vtoonify_d.py:122-124, 239-241)."""
     k1, k2 = jax.random.split(key)
     z = jax.random.normal(k1, (batch, gcfg.style_dim), jnp.float32)
-    w = G.style_mlp(gen_params, gcfg, z)
+    w = G.style_mlp(gen_params, gcfg, z.astype(_wdtype(gen_params)))
     ws = jnp.repeat(w[:, None, :], gcfg.n_latent, axis=1)
     idx = jax.random.randint(k2, (batch,), 0, directions.shape[0])
     ws = ws.at[:, 3:7].add(directions[idx, 3:7])
@@ -45,7 +58,7 @@ def sample_content_w_batch(key, gen_params, gcfg: G.GeneratorConfig,
 def stylegan_image(gen_params, gcfg, ws, key):
     """x'' = clamp(G0(w'), trunc 0.5 around 0) with random per-layer noise."""
     noise = G.make_noise(gen_params, gcfg, key, randomize=True,
-                         batch=ws.shape[0])
+                         batch=ws.shape[0], dtype=_wdtype(gen_params))
     img = G.generate(
         gen_params, gcfg, [0.5 * ws], input_is_latent=True, noise=noise
     )
@@ -79,7 +92,8 @@ def synth_pretrain_batch(key, vt_params, cfg: VToonifyConfig, parsing_params,
         [img256, down(mask512) * PARSING_WEIGHT], axis=-1
     )
 
-    noise = G.make_noise(gen_params, gcfg, k3, randomize=True, batch=batch)
+    noise = G.make_noise(gen_params, gcfg, k3, randomize=True, batch=batch,
+                         dtype=_wdtype(gen_params))
     weights = [d_s] * dcfg.n_latent
     real_feat, real_skip = D.dualstylegan_apply(
         ds_params, dcfg, [0.5 * ws], style, input_is_latent=True, noise=noise,
@@ -135,7 +149,8 @@ def synth_train_batch(key, vt_params, cfg: VToonifyConfig, parsing_params,
         xl = jnp.concatenate([style[:, 0:7], xl_w[:, 7:18]], axis=1)
     xl = jax.lax.stop_gradient(xl)
 
-    noise = G.make_noise(gen_params, gcfg, ks[2], randomize=True, batch=batch)
+    noise = G.make_noise(gen_params, gcfg, ks[2], randomize=True, batch=batch,
+                         dtype=_wdtype(gen_params))
     xs = D.dualstylegan_apply(
         ds_params, dcfg, [0.5 * wc], xl, input_is_latent=True, noise=noise,
         use_res=True, interp_weights=list(weights),
@@ -151,7 +166,8 @@ def synth_train_batch(key, vt_params, cfg: VToonifyConfig, parsing_params,
         return jnp.clip(
             G.generate(gen_params, gcfg, [0.5 * wcf], input_is_latent=True,
                        noise=G.make_noise(gen_params, gcfg, ks[3],
-                                          randomize=True, batch=batch)),
+                                          randomize=True, batch=batch,
+                                          dtype=_wdtype(gen_params))),
             -1.0, 1.0,
         )
 
@@ -201,7 +217,8 @@ def synth_pretrain_t_batch(key, base_params, gcfg, vt_params,
         [img256, down(mask512) * PARSING_WEIGHT], axis=-1
     )
     gp = vt_params["generator"]
-    noise = G.make_noise(gp, gcfg, k3, randomize=True, batch=batch)
+    noise = G.make_noise(gp, gcfg, k3, randomize=True, batch=batch,
+                         dtype=_wdtype(gp))
     real_feat, real_skip = G.generator_apply(
         gp, gcfg, 0.5 * ws, noise=noise, return_feature_ind=6
     )
@@ -241,7 +258,8 @@ def synth_train_t_batch(key, base_params, gcfg, vt_params,
     xl = jax.lax.stop_gradient(xl)
 
     gp = vt_params["generator"]
-    noise = G.make_noise(gp, gcfg, ks[2], randomize=True, batch=batch)
+    noise = G.make_noise(gp, gcfg, ks[2], randomize=True, batch=batch,
+                         dtype=_wdtype(gp))
     xs = jnp.clip(
         G.generate(gp, gcfg, [xl], input_is_latent=True, noise=noise),
         -1.0, 1.0,
