@@ -63,13 +63,18 @@ def bench_pretrain(batch, n_iters, compute_dtype):
     init_state = init_pretrain_state(vt_params)
 
     step_fn = jax.jit(pretrain_step, donate_argnums=(0,),
-                      static_argnames=("cfg", "lr", "compute_dtype"))
+                      static_argnames=("cfg", "lr", "compute_dtype",
+                                       "synth_dtype"))
+    synth_dtype = ("float32"
+                   if os.environ.get("TRAIN_BENCH_SYNTH_FP32", "0") == "1"
+                   else None)
 
     def run_one(state):
         state = init_state if state is None else state
         new_state, _ = step_fn(state, frozen, parsing_params, cfg, directions,
                                style, jnp.asarray(0.5), ks[4],
-                               compute_dtype=compute_dtype)
+                               compute_dtype=compute_dtype,
+                               synth_dtype=synth_dtype)
         return new_state
 
     return _time_steps(run_one, n_iters)

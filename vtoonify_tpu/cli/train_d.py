@@ -89,7 +89,7 @@ def build_parser():
                    help="with --bf16: keep the frozen-teacher data synthesis "
                         "(StyleGAN/DualStyleGAN/BiSeNet + augmentation) in "
                         "float32; targets then match the f32 trainer exactly "
-                        "at ~25%% more step time")
+                        "(~27%% more stage-1 time, ~6%% more stage-2)")
     p.add_argument("--matmul_precision", type=str, default=None,
                    choices=["default", "high", "highest"],
                    help="XLA f32 matmul/conv precision. The TPU default is a "

@@ -309,9 +309,10 @@ def _affine_warp_kernel(coef_ref, xmap_ref, smat_ref, img_hbm, o_ref, box2,
     #
     # One grid step = one (n, j) output ROW STRIP; the x-tiles of the strip
     # run in an inner fori_loop with double-buffered box DMAs. Measured on
-    # hardware: Mosaic's per-grid-step machinery costs ~4.2 µs — a no-op
-    # kernel over per-tile grid steps took 70 of the 87 ms total — so tiny
-    # tiles must amortize it through an inner loop, not the grid.
+    # hardware: Mosaic's per-grid-step machinery costs ~0.5 µs/step — a
+    # no-op kernel took 70 of the 87 ms total over the 133k per-tile grid
+    # steps of a 4120²-out probe — so tiny tiles must amortize it through
+    # an inner loop, not the grid.
     n = pl.program_id(0)
     j = pl.program_id(1)
     ax, bx, cx = coef_ref[n, 0], coef_ref[n, 1], coef_ref[n, 2]
@@ -433,11 +434,12 @@ def affine_warp_bilinear_pallas(img, coef, out_hw, s_bound: float = 2.25,
         samples mapped outside the box read as zeros.
       precision: MXU precision of the two contractions. Sampling POSITIONS
         are exact at any setting (corner selection is integer compares);
-        precision only rounds the lerp VALUES. DEFAULT (one bf16 pass) gives
-        ≤ ~6e-3 absolute error on [-1, 1] images (≈1.4 uint8 LSB, measured
-        5.5e-3 vs a float64 oracle) at full speed; HIGHEST is f32-exact
-        (2.6e-4 vs the same oracle — pure f32 rounding) at ~6× the MXU cost.
-        Mosaic does not implement HIGH.
+        precision only rounds the lerp VALUES. DEFAULT (one bf16 pass, with
+        lowp bf16 storage/output) gives ≤ ~1e-2 absolute error on [-1, 1]
+        images (≈2 uint8 LSB, measured 7.6e-3 vs a float64 oracle on
+        hardware) at full speed; HIGHEST is f32-exact (2.2e-4 vs the same
+        oracle — pure f32 rounding) at ~6× the MXU cost. Mosaic does not
+        implement HIGH.
       lowp: store the image/box in bfloat16, halving the DMA traffic that
         dominates the kernel. None → True iff precision is DEFAULT (whose
         MXU passes round the same operands to bf16 regardless, so lowp
