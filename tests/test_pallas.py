@@ -130,3 +130,36 @@ def test_affine_warp_unaligned_shape_padding():
     ref_lp = np.asarray(grid_sample(img01, grid, align_corners=False,
                                     padding_mode="zeros"))
     np.testing.assert_allclose(np.asarray(out_lp), ref_lp, atol=1.5e-2)
+
+    # bf16 INPUT image (the bf16 data-synthesis path, augment.py routes it
+    # to the kernel): output dtype follows the input; values bound as lowp.
+    img_bf = img01.astype(jnp.bfloat16)
+    out_bf = affine_warp_bilinear_pallas(img_bf, coef, (ho, wo),
+                                         interpret=True, lowp=True)
+    assert out_bf.dtype == jnp.bfloat16
+    np.testing.assert_allclose(np.asarray(out_bf, np.float32), ref_lp,
+                               atol=2e-2)
+
+
+def test_affine_warp_bf16_augment_tracks_f32():
+    """random_apply_affine on bf16 images (bf16 data synthesis) must track
+    the f32 augment within value rounding: the sampling GRID stays float32
+    (augment._affine_warp_xla) — a bf16 grid would carry ~1 px of coordinate
+    rounding and blow this bound."""
+    import vtoonify_tpu.train.augment as aug
+
+    rng = np.random.RandomState(5)
+    b, h, w, c = 2, 96, 96, 6
+    img = jnp.asarray(np.tanh(rng.randn(b, h, w, c)).astype(np.float32))
+    G = jnp.asarray(np.tile(np.eye(3, dtype=np.float32), (b, 1, 1)))
+    th = 0.25
+    rot = np.array([[np.cos(th), -np.sin(th), 0.01],
+                    [np.sin(th), np.cos(th), -0.02],
+                    [0, 0, 1]], np.float32)
+    G = G.at[1].set(jnp.asarray(np.linalg.inv(rot)))
+
+    o32, _ = aug.random_apply_affine(img, 1.0, G=G)
+    o16, _ = aug.random_apply_affine(img.astype(jnp.bfloat16), 1.0, G=G)
+    assert o16.dtype == jnp.bfloat16
+    d = np.abs(np.asarray(o32, np.float32) - np.asarray(o16, np.float32))
+    assert d.max() < 0.05, d.max()
