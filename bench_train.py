@@ -16,7 +16,9 @@ Env knobs: TRAIN_BENCH_STAGE (both|pretrain|full), TRAIN_BENCH_BATCH_PRE (8),
 TRAIN_BENCH_BATCH_FULL (2), TRAIN_BENCH_BF16 (0; 1 = bfloat16 forwards with
 f32 master weights — the --bf16 trainer flag), TRAIN_BENCH_SYNTH_FP32 (0;
 1 = keep data synthesis f32, the --synth_fp32 flag), TRAIN_BENCH_REMAT (1;
-0 = no rematerialization of the G forwards/LPIPS), TRAIN_BENCH_ITERS (4).
+0 = no rematerialization of the G forwards/LPIPS), TRAIN_BENCH_ITERS (4),
+TRAIN_BENCH_MFU (0; 1 = XLA cost analysis of each compiled step — FLOPs/iter
+and achieved TFLOP/s vs the 197 TFLOP/s bf16 v5e peak).
 
 State is donated exactly as in the CLI, and iterations are serialized by the
 state dependency, so per-call dispatch overhead is pipelined away; the first
@@ -33,6 +35,9 @@ import jax
 import jax.numpy as jnp
 
 
+V5E_PEAK_BF16_TFLOPS = 197.0
+
+
 def _time_steps(run_one, n_iters):
     state = run_one(None)            # compile + first step
     jax.block_until_ready(state)
@@ -42,6 +47,14 @@ def _time_steps(run_one, n_iters):
         state = run_one(state)
     np.asarray(jax.tree_util.tree_leaves(state)[0])
     return (time.perf_counter() - t0) / n_iters
+
+
+def _step_flops(jitted, *args, **kwargs):
+    """XLA cost analysis of a compiled training step: total FLOPs/iter."""
+    cost = jitted.lower(*args, **kwargs).compile().cost_analysis()
+    if isinstance(cost, (list, tuple)):
+        cost = cost[0]
+    return float(cost.get("flops", 0.0))
 
 
 def bench_pretrain(batch, n_iters, compute_dtype):
@@ -77,7 +90,13 @@ def bench_pretrain(batch, n_iters, compute_dtype):
                                synth_dtype=synth_dtype)
         return new_state
 
-    return _time_steps(run_one, n_iters)
+    flops = None
+    if os.environ.get("TRAIN_BENCH_MFU", "0") == "1":
+        flops = _step_flops(step_fn, init_state, frozen, parsing_params, cfg,
+                            directions, style, jnp.asarray(0.5), ks[4],
+                            compute_dtype=compute_dtype,
+                            synth_dtype=synth_dtype)
+    return _time_steps(run_one, n_iters), flops
 
 
 def bench_full(batch, n_iters, compute_dtype):
@@ -138,7 +157,15 @@ def bench_full(batch, n_iters, compute_dtype):
         )
         return new_state
 
-    return _time_steps(run_one, n_iters)
+    flops = None
+    if os.environ.get("TRAIN_BENCH_MFU", "0") == "1":
+        flops = _step_flops(
+            step_fn, init_state, frozen, parsing_params, psp_params, psp_cfg,
+            None, lpips_params, cfg, dcfg, tcfg, directions, style, style_ind,
+            jnp.asarray(0.5), weights, jnp.asarray(0.0), jnp.asarray(0.5),
+            jnp.asarray(False), ks[7],
+        )
+    return _time_steps(run_one, n_iters), flops
 
 
 def main():
@@ -159,12 +186,24 @@ def main():
 
     if stage in ("both", "pretrain"):
         b = int(os.environ.get("TRAIN_BENCH_BATCH_PRE", "8"))
-        rec["pretrain_s_per_iter"] = round(bench_pretrain(b, n_iters, dtype), 4)
+        s_iter, flops = bench_pretrain(b, n_iters, dtype)
+        rec["pretrain_s_per_iter"] = round(s_iter, 4)
         rec["pretrain_batch"] = b
+        if flops:
+            tfs = flops / s_iter / 1e12
+            rec["pretrain_tflops_per_iter"] = round(flops / 1e12, 2)
+            rec["pretrain_achieved_tflops"] = round(tfs, 1)
+            rec["pretrain_mfu_pct"] = round(100 * tfs / V5E_PEAK_BF16_TFLOPS, 1)
     if stage in ("both", "full"):
         b = int(os.environ.get("TRAIN_BENCH_BATCH_FULL", "2"))
-        rec["full_s_per_iter"] = round(bench_full(b, n_iters, dtype), 4)
+        s_iter, flops = bench_full(b, n_iters, dtype)
+        rec["full_s_per_iter"] = round(s_iter, 4)
         rec["full_batch"] = b
+        if flops:
+            tfs = flops / s_iter / 1e12
+            rec["full_tflops_per_iter"] = round(flops / 1e12, 2)
+            rec["full_achieved_tflops"] = round(tfs, 1)
+            rec["full_mfu_pct"] = round(100 * tfs / V5E_PEAK_BF16_TFLOPS, 1)
     rec["value"] = rec.get("full_s_per_iter", rec.get("pretrain_s_per_iter"))
     print(json.dumps(rec))
 
