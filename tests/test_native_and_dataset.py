@@ -53,6 +53,26 @@ def test_dataset_roundtrip(tmp_path):
     assert len(b0) + len(b1) == 5
 
 
+def test_prepare_data_cli(tmp_path):
+    """vtoonify-prepare-data: the reference prepare_data.py CLI equivalent
+    (directory walk -> packed shards loadable by MultiResolutionDataset)."""
+    import cv2
+
+    from vtoonify_tpu.train.dataset import MultiResolutionDataset, main
+
+    rng = np.random.RandomState(2)
+    sub = tmp_path / "imgs" / "nested"
+    sub.mkdir(parents=True)
+    for i in range(3):
+        cv2.imwrite(str(sub / f"{i}.jpg"),
+                    rng.randint(0, 255, (24, 24, 3), dtype=np.uint8))
+    out = str(tmp_path / "packed")
+    main([str(tmp_path / "imgs"), "--out", out, "--size", "16",
+          "--shard_size", "2"])
+    ds = MultiResolutionDataset(out, resolution=16)
+    assert len(ds) == 3 and ds[2].shape == (16, 16, 3)
+
+
 def test_epe_metric():
     import jax.numpy as jnp
 

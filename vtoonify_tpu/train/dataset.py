@@ -94,3 +94,39 @@ class MultiResolutionDataset:
                 batch = np.stack([self[j] for j in idx[i:i + batch_size]])
                 yield batch.astype(np.float32) / 127.5 - 1.0
             epoch += 1
+
+
+def main(argv=None):
+    """CLI equivalent of the reference prepare_data.py (model/stylegan/
+    prepare_data.py:1-50): walk an image directory, resize-and-pack every
+    image at the requested sizes into per-resolution shards."""
+    import argparse
+
+    p = argparse.ArgumentParser(
+        description="Pack an image folder into per-resolution uint8 shards "
+                    "for MultiResolutionDataset")
+    p.add_argument("path", help="directory of images (walked recursively)")
+    p.add_argument("--out", required=True, help="output shard directory")
+    p.add_argument("--size", type=str, default="128,256,512,1024",
+                   help="comma-separated square resolutions to pack")
+    p.add_argument("--shard_size", type=int, default=1024,
+                   help="images per .npy shard")
+    args = p.parse_args(argv)
+
+    exts = {".png", ".jpg", ".jpeg", ".bmp", ".webp"}
+    paths = sorted(
+        os.path.join(root, f)
+        for root, _, files in os.walk(args.path)
+        for f in files
+        if os.path.splitext(f)[1].lower() in exts
+    )
+    if not paths:
+        raise SystemExit(f"no images found under {args.path}")
+    sizes = [int(s) for s in args.size.split(",")]
+    print(f"packing {len(paths)} images at sizes {sizes} -> {args.out}")
+    prepare_data(paths, args.out, sizes=sizes, shard_size=args.shard_size)
+    print("done")
+
+
+if __name__ == "__main__":
+    main()
