@@ -111,3 +111,24 @@ def test_dp_tp_train_step():
     for k, v in metrics.items():
         assert np.isfinite(float(v)), k
     assert int(state2.step) == 1
+
+    # the production mixed-precision config (bf16 forwards + bf16 data
+    # synthesis) must also compile and run under the same dp4xtp2 sharding
+    tcfg16 = tcfg._replace(compute_dtype="bfloat16")
+    state16 = init_train_d_state(vt_params, d_params, batch=4, cfg=TINY,
+                                 tcfg=tcfg16)
+    state16 = state16._replace(
+        trainable=shard_params(state16.trainable, mesh, tp=True),
+        d_params=shard_params(state16.d_params, mesh, tp=True),
+    )
+    state16b, metrics16 = step(
+        state16, frozen, parsing_sh, psp_params, psp_cfg, None, lpips_params,
+        TINY, dcfg, tcfg16, directions, style, style_ind, jnp.asarray(0.4),
+        tuple([0.4] * 7 + [1.0] * (TINY.n_latent - 7)),
+        jnp.asarray(0.0), jnp.asarray(0.5), jnp.asarray(False), ks[7],
+    )
+    jax.block_until_ready(state16b)
+    for k, v in metrics16.items():
+        assert np.isfinite(float(v)), k
+    for leaf in jax.tree_util.tree_leaves(state16b.trainable):
+        assert leaf.dtype == jnp.float32
