@@ -163,3 +163,24 @@ def test_affine_warp_bf16_augment_tracks_f32():
     assert o16.dtype == jnp.bfloat16
     d = np.abs(np.asarray(o32, np.float32) - np.asarray(o16, np.float32))
     assert d.max() < 0.05, d.max()
+
+
+def test_depth_to_space2_pallas_exact():
+    """Folded-minor Pallas depth-to-space is bit-identical to the XLA
+    reshape/transpose form across channel widths incl. the RGB (C=3) case
+    that triggers XLA's small-minor relayout pathology."""
+    from vtoonify_tpu.nn.layers import depth_to_space2
+    from vtoonify_tpu.ops.pallas_kernels import depth_to_space2_pallas
+
+    rng = np.random.RandomState(3)
+    for shape in [(2, 16, 16, 12), (1, 8, 24, 16), (2, 32, 8, 4),
+                  (1, 16, 8, 128)]:
+        x = jnp.asarray(rng.randn(*shape).astype(np.float32))
+        ref = np.asarray(depth_to_space2(x))
+        out = np.asarray(depth_to_space2_pallas(x, interpret=True))
+        np.testing.assert_array_equal(out, ref)
+        xb = x.astype(jnp.bfloat16)
+        np.testing.assert_array_equal(
+            np.asarray(depth_to_space2_pallas(xb, interpret=True),
+                       np.float32),
+            np.asarray(depth_to_space2(xb), np.float32))

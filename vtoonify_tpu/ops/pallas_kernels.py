@@ -517,3 +517,47 @@ def affine_warp_bilinear_pallas(img, coef, out_hw, s_bound: float = 2.25,
         n, njt * th, nit * tw, cphys
     )
     return out[:, :ho, :wo, :c].astype(img.dtype)
+
+
+# ---------------------------------------------------------------------------
+# depth-to-space ×2 — the packed-stage unpack / polyphase interleave
+#
+# depth_to_space2's reshape→transpose→reshape leaves XLA:TPU a copy whose
+# minor dims are (2, C) — for the RGB stages C=3, so the tiled layout pads
+# the lane dim ~42× and the "free" relayout costs ms on megapixel tensors
+# (device trace: the 512²→1024² f32 interleave pair cost ~8.5 ms/iter in the
+# stage-2 step before bf16 synthesis). This kernel keeps the minor dim FOLDED
+# (W·4C lanes in, W·2C out): phase selection is a strided lane slice and the
+# row interleave is a sublane stack — no small-minor tiling anywhere.
+
+
+def _d2s2_kernel(x_ref, o_ref, *, w, c):
+    x = x_ref[0]                                  # (th, W·4C)
+    th = x.shape[0]
+    x4 = x.reshape(th, w, 4 * c)
+    x0 = x4[:, :, : 2 * c].reshape(th, w * 2 * c)   # phase rows a=0
+    x1 = x4[:, :, 2 * c:].reshape(th, w * 2 * c)    # phase rows a=1
+    o_ref[0] = jnp.stack([x0, x1], axis=1).reshape(2 * th, w * 2 * c)
+
+
+def depth_to_space2_pallas(yp, rows: int = 8, interpret: bool = False):
+    """(B, H, W, 4C) phase-major packed → (B, 2H, 2W, C), as depth_to_space2
+    (nn/layers.py) — strided-lane/sublane shuffles on a folded minor dim
+    instead of XLA's small-minor relayout copy. Requires H % rows == 0."""
+    b, h, w, c4 = yp.shape
+    c = c4 // 4
+    assert h % rows == 0
+    out = pl.pallas_call(
+        functools.partial(_d2s2_kernel, w=w, c=c),
+        out_shape=jax.ShapeDtypeStruct((b, 2 * h, w * 2 * c), yp.dtype),
+        grid=(b, h // rows),
+        in_specs=[
+            pl.BlockSpec((1, rows, w * c4), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 2 * rows, w * 2 * c),
+                               lambda i, j: (i, j, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(yp.reshape(b, h, w * c4))
+    return out.reshape(b, 2 * h, 2 * w, c)
