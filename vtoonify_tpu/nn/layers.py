@@ -200,11 +200,9 @@ def _fused_upsample_conv(x, w_scaled, blur_kernel):
     cin, cout = c.shape[2], c.shape[3]
     k_cat = jnp.concatenate(phases, axis=-1)  # (3, 3, cin, 4*cout)
     yp = conv2d(x, k_cat.astype(x.dtype), padding=1)  # (B, H, W, 4*cout)
-    b, h, w_, _ = yp.shape
-    yp = yp.reshape(b, h, w_, 2, 2, cout)
-    return jnp.transpose(yp, (0, 1, 3, 2, 4, 5)).reshape(
-        b, 2 * h, 2 * w_, cout
-    )
+    # the (a,b) concat order above is exactly depth_to_space2's phase-major
+    # packing — one shared interleave (and one shared Pallas fast path)
+    return depth_to_space2(yp)
 
 
 def modulated_conv2d(p, x, style, demodulate=True, upsample=False,
