@@ -73,9 +73,9 @@ def _build_flagship(batch):
     return cfg, vt_params, parsing_params, frame_graph, frames, s_w, d_s
 
 
-def measure_device_fps(batch, reps):
+def measure_device_fps(batch, reps, built=None):
     cfg, vt_params, parsing_params, frame_graph, frames, s_w, d_s = (
-        _build_flagship(batch)
+        built if built is not None else _build_flagship(batch)
     )
     dtype = jnp.bfloat16
 
@@ -97,10 +97,10 @@ def measure_device_fps(batch, reps):
     return batch / per_graph, per_graph / batch * 1000
 
 
-def measure_flops_per_frame(batch):
+def measure_flops_per_frame(batch, built=None):
     """XLA cost analysis of the compiled flagship graph (VERDICT r1 #7)."""
     cfg, vt_params, parsing_params, frame_graph, frames, s_w, d_s = (
-        _build_flagship(batch)
+        built if built is not None else _build_flagship(batch)
     )
     fn = jax.jit(lambda f, s, d: frame_graph(vt_params, cfg, parsing_params,
                                              f, s, d, dtype=jnp.bfloat16))
@@ -161,7 +161,8 @@ def main():
     e2e_frames = int(os.environ.get("BENCH_E2E_FRAMES", "48"))
     run_mfu = os.environ.get("BENCH_MFU", "1") == "1"
 
-    fps, p50_ms = measure_device_fps(batch, reps)
+    built = _build_flagship(batch)  # shared: fps timing + cost analysis
+    fps, p50_ms = measure_device_fps(batch, reps, built=built)
     rec = {
         "metric": "frames/sec/chip @1024px toonify "
                   f"(batch {batch}, p50 {p50_ms:.1f} ms/frame)",
@@ -171,7 +172,7 @@ def main():
     }
 
     if run_mfu:
-        flops = measure_flops_per_frame(batch)
+        flops = measure_flops_per_frame(batch, built=built)
         rec["gflops_per_frame"] = round(flops / 1e9, 2)
         rec["achieved_tflops"] = round(flops * fps / 1e12, 2)
         rec["mfu_vs_v5e_bf16_peak"] = round(

@@ -114,7 +114,9 @@ def main(argv=None):
         if s != "ok":
             print(f"skip {src}: {s}")
     print(f"aligned {ok}/{len(pairs)} in {time.time() - t0:.1f}s")
-    return ok
+    # console-script wrappers pass the return value to sys.exit(): return a
+    # real status code, not the aligned count
+    return 0 if ok == len(pairs) else 1
 
 
 if __name__ == "__main__":

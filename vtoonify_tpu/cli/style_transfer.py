@@ -41,8 +41,10 @@ def build_parser():
     p.add_argument("--video", action="store_true")
     p.add_argument("--cpu", action="store_true",
                    help="force CPU execution (XLA host platform)")
-    p.add_argument("--backbone", type=str, default="dualstylegan",
-                   choices=["dualstylegan", "toonify"])
+    p.add_argument("--backbone", type=str, default=None,
+                   choices=["dualstylegan", "toonify"],
+                   help="inferred from the checkpoint when omitted; an "
+                        "explicit value is validated against it")
     p.add_argument("--padding", type=int, nargs=4,
                    default=[200, 200, 200, 200],
                    help="left, right, top, bottom paddings to the face center")
@@ -120,11 +122,12 @@ def main(argv=None):
     # model config (sizes, multiplier, backbone) is inferred from the
     # checkpoint — the reference hardcodes 256→1024
     vt_params, cfg = ckpt_util.load_reference_vtoonify(args.ckpt)
-    if cfg.backbone != args.backbone:
+    if args.backbone is not None and cfg.backbone != args.backbone:
         raise SystemExit(
             f"error: --backbone {args.backbone} but {args.ckpt} is a "
             f"{cfg.backbone} model"
         )
+    args.backbone = cfg.backbone
     parsing_params = ckpt_util.load_reference_faceparsing(args.faceparsing_path)
     psp_params, latent_avg, psp_cfg = ckpt_util.load_reference_psp(
         args.style_encoder_path

@@ -10,6 +10,7 @@ over all local devices ('dp'); multi-host works via jax.distributed.initialize
 from __future__ import annotations
 
 import argparse
+import functools
 import os
 import time
 
@@ -262,6 +263,7 @@ def main(argv=None):
                         f"{name.removesuffix('.ckpt')}.pt",
                         {"encoder": state.ema_encoder}, cfg,
                     )
+        tracer.close()
         return
 
     # ---- full training ------------------------------------------------------
@@ -324,19 +326,25 @@ def main(argv=None):
                       static_argnames=("cfg", "dcfg", "tcfg", "psp_cfg"))
     glog = SampleGridLogger(log_dir, cfg, args.fix_degree)
 
-    def _synth_for_log(trainable, sub, style, d_s_t, weights, wc_prev, cft,
-                       ucj, xl_override):
+    def _synth_for_log(frozen_a, parsing_a, psp_a, latent_avg_a,
+                       directions_a, trainable, sub, style, d_s_t, weights,
+                       wc_prev, cft, ucj, xl_override):
         # mirrors train_d_step's internal key split so the seeded sample IS
         # iteration 0's data (reference train_vtoonify_d.py:271-276)
-        vt_all = {**frozen, **trainable}
+        vt_all = {**frozen_a, **trainable}
         return synth.synth_train_batch(
-            jax.random.split(sub)[0], vt_all, cfg, parsing_sh, psp_params,
-            psp_cfg, latent_avg, directions, style, d_s_t, weights, wc_prev,
-            cft, ucj, xl_override=xl_override, aug_p=tcfg.aug_p,
+            jax.random.split(sub)[0], vt_all, cfg, parsing_a, psp_a,
+            psp_cfg, latent_avg_a, directions_a, style, d_s_t, weights,
+            wc_prev, cft, ucj, xl_override=xl_override, aug_p=tcfg.aug_p,
             aug_max_pad=tcfg.aug_max_pad,
         )
 
-    synth_for_log = jax.jit(_synth_for_log)
+    # params enter as jit ARGUMENTS — a closure would inline the full frozen
+    # VToonify-D + pSp trees as HLO constants (a ~GB remote-compile payload
+    # the TPU relay rejects with 413; see _drift_check.py)
+    synth_for_log = functools.partial(
+        jax.jit(_synth_for_log), frozen, parsing_sh, psp_params, latent_avg,
+        directions)
     suffix = capability_suffix(args)
     t0 = time.time()
     for idx in range(args.start_iter, args.iter):
@@ -410,6 +418,7 @@ def main(argv=None):
                     f"checkpoint/{args.name}/{name.removesuffix('.ckpt')}.pt",
                     {**frozen, **state.ema}, cfg,
                 )
+    tracer.close()
 
 
 if __name__ == "__main__":

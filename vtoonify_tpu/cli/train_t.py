@@ -7,6 +7,7 @@ style-finetuned StyleGAN builds the frozen G1, then encoder distillation
 from __future__ import annotations
 
 import argparse
+import functools
 import os
 import time
 
@@ -206,6 +207,7 @@ def main(argv=None):
                         f"{name.removesuffix('.ckpt')}.pt",
                         {"encoder": state.ema_encoder}, cfg,
                     )
+        tracer.close()
         return
 
     pre = ckpt_util.load_pytree(args.encoder_path)
@@ -255,16 +257,21 @@ def main(argv=None):
                                        "batch"))
     glog = SampleGridLogger(log_dir, cfg, fix_degree=True, use_degree=False)
 
-    def _synth_for_log(trainable, sub):
+    def _synth_for_log(frozen_a, base_a, parsing_a, psp_a, latent_avg_a,
+                       directions_a, trainable, sub):
         # mirrors train_t_step's internal key split (iteration 0's data)
-        vt_all = {**frozen, **trainable}
+        vt_all = {**frozen_a, **trainable}
         return synth.synth_train_t_batch(
-            jax.random.split(sub)[0], base_sh, cfg.generator, vt_all, cfg,
-            parsing_sh, psp_params, psp_cfg, latent_avg, directions,
+            jax.random.split(sub)[0], base_a, cfg.generator, vt_all, cfg,
+            parsing_a, psp_a, psp_cfg, latent_avg_a, directions_a,
             args.batch, aug_p=tcfg.aug_p, aug_max_pad=tcfg.aug_max_pad,
         )
 
-    synth_for_log = jax.jit(_synth_for_log)
+    # params as jit arguments, not closure constants (relay 413; see
+    # train_d.py note)
+    synth_for_log = functools.partial(
+        jax.jit(_synth_for_log), frozen, base_sh,
+        parsing_sh, psp_params, latent_avg, directions)
     t0 = time.time()
     for idx in range(args.start_iter, args.iter):
         key, sub = jax.random.split(key)
@@ -301,6 +308,7 @@ def main(argv=None):
                     f"checkpoint/{args.name}/{name.removesuffix('.ckpt')}.pt",
                     {**frozen, **state.ema}, cfg,
                 )
+    tracer.close()
 
 
 if __name__ == "__main__":

@@ -286,8 +286,12 @@ class FlowAugmentor:
                 img1, img2 = img1[::-1], img2[::-1]
                 flow = flow[::-1] * [1.0, -1.0]
 
-        y0 = self.rng.randint(0, img1.shape[0] - self.crop_size[0])
-        x0 = self.rng.randint(0, img1.shape[1] - self.crop_size[1])
+        # max(1,·): when the no-resize branch (prob 0.2) leaves the image
+        # exactly crop-sized — e.g. FlyingChairs' native 384×512 with
+        # --image_size 384 512 — offset 0 is the only valid crop (the
+        # upstream augmentor crashes on randint(0, 0) here)
+        y0 = self.rng.randint(0, max(1, img1.shape[0] - self.crop_size[0]))
+        x0 = self.rng.randint(0, max(1, img1.shape[1] - self.crop_size[1]))
         sl = np.s_[y0:y0 + self.crop_size[0], x0:x0 + self.crop_size[1]]
         return img1[sl], img2[sl], flow[sl]
 

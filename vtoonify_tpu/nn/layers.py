@@ -461,9 +461,13 @@ def depth_to_space2(yp):
     b, h, w_, c4 = yp.shape
     c = c4 // 4
     if os.environ.get("VTOONIFY_PALLAS_D2S", "0") == "1" and h % 8 == 0:
-        from vtoonify_tpu.ops.pallas_kernels import depth_to_space2_pallas
+        # TPU only: pallas_call cannot lower on the CPU backend
+        import jax as _jax
 
-        return depth_to_space2_pallas(yp)
+        if _jax.default_backend() not in ("cpu",):
+            from vtoonify_tpu.ops.pallas_kernels import depth_to_space2_pallas
+
+            return depth_to_space2_pallas(yp)
     yp = yp.reshape(b, h, w_, 2, 2, c)
     return jnp.transpose(yp, (0, 1, 3, 2, 4, 5)).reshape(b, 2 * h, 2 * w_, c)
 

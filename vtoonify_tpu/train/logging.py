@@ -20,9 +20,13 @@ import numpy as np
 
 
 def to_uint8(img: np.ndarray) -> np.ndarray:
-    """[-1, 1] float image → uint8 (torchvision normalize+range semantics)."""
-    return np.clip(np.round((np.asarray(img, np.float32) + 1.0) * 127.5),
-                   0, 255).astype(np.uint8)
+    """[-1, 1] float image → uint8, matching torchvision save_image exactly
+    (mul(255).add_(0.5).clamp_(0,255).byte() — round-half-UP, which np.round
+    is not): the reference writes its training grids through torchvision
+    (train_vtoonify_d.py:361-376). utils/image.to_uint8 (truncating) matches
+    the reference's plain save path instead — distinct on purpose."""
+    x = (np.asarray(img, np.float32) + 1.0) * 127.5 + 0.5
+    return np.floor(np.clip(x, 0, 255)).astype(np.uint8)
 
 
 def save_image_grid(path: str, images: np.ndarray, nrow: int,

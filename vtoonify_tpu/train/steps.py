@@ -60,7 +60,7 @@ def _mp_cast(compute_dtype):
     def _to(dtype):
         def cast(t):
             return jax.tree_util.tree_map(
-                lambda a: a.astype(dtype)
+                lambda a: jnp.asarray(a).astype(dtype)
                 if jnp.issubdtype(jnp.asarray(a).dtype, jnp.floating) else a,
                 t,
             )

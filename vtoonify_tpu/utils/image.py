@@ -11,7 +11,11 @@ def to_unit(frame_u8: np.ndarray) -> np.ndarray:
 
 
 def to_uint8(img: np.ndarray) -> np.ndarray:
-    """[-1, 1] float → uint8."""
+    """[-1, 1] float → uint8, TRUNCATING like the reference's save path
+    (util.py:24-26 casts (x+1)·127.5 straight to uint8). Two siblings exist
+    on purpose, each matching a different reference code path:
+    train/logging.to_uint8 (torchvision save_image rounding for training
+    grids) and native frameio's +0.5 quantize (the video frame path)."""
     return ((np.clip(img, -1.0, 1.0) + 1.0) * 127.5).astype(np.uint8)
 
 

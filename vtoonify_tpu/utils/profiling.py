@@ -54,6 +54,17 @@ class StepTrace:
             self._active = False
             print(f"device trace written to {self.logdir}", flush=True)
 
+    def close(self):
+        """Flush a still-open trace — call after the training loop so a
+        --profile window extending past the final iteration isn't silently
+        lost (without this, jax.profiler is left tracing and no file is
+        written)."""
+        if self._active:
+            jax.profiler.stop_trace()
+            self._active = False
+            print(f"device trace (truncated window) written to "
+                  f"{self.logdir}", flush=True)
+
 
 class StageTimer:
     """Accumulating wall-clock stage timer for host-side pipeline phases
