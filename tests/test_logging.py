@@ -77,3 +77,22 @@ def test_sample_grid_logger(tmp_path, fix_degree):
     assert path.endswith("00007.jpg")
     assert grid.shape == (nrows * 256 + (nrows + 1) * 2, b * 256 + (b + 1) * 2,
                           3)
+
+
+def test_step_trace_close_flushes_truncated_window(tmp_path):
+    """--profile N with N past the last iteration: close() must stop the
+    trace and write the file instead of silently losing it."""
+    import glob
+
+    import jax
+
+    from vtoonify_tpu.utils.profiling import StepTrace
+
+    logdir = str(tmp_path / "trace")
+    tr = StepTrace(logdir, first_step=0, n_steps=10)
+    tr.before(0)
+    tr.after(0, jax.numpy.zeros(()))   # window not finished
+    tr.close()                          # loop ended early
+    assert not tr._active
+    assert glob.glob(logdir + "/**/*.xplane.pb", recursive=True)
+    tr.close()                          # idempotent

@@ -97,8 +97,10 @@ def test_align_batch_cli(tmp_path):
     root = str(tmp_path / "faces")
     lm_path = _make_align_tree(root)
 
-    ok = align_batch.main(["--root_path", root, "--landmarks", lm_path])
-    assert ok == 2
+    # returns a STATUS code (0 = every pending image aligned) — setuptools
+    # console scripts pass the return through sys.exit()
+    rc = align_batch.main(["--root_path", root, "--landmarks", lm_path])
+    assert rc == 0
     out_a = os.path.join(root + "_crops", "a.jpg")
     out_b = os.path.join(root + "_crops", "sub", "b.jpg")
     assert os.path.exists(out_a) and os.path.exists(out_b)
@@ -115,6 +117,6 @@ def test_align_batch_cli_parallel(tmp_path):
 
     root = str(tmp_path / "faces")
     lm_path = _make_align_tree(root)
-    ok = align_batch.main(["--root_path", root, "--landmarks", lm_path,
+    rc = align_batch.main(["--root_path", root, "--landmarks", lm_path,
                            "--num_threads", "2"])
-    assert ok == 2
+    assert rc == 0
