@@ -453,21 +453,13 @@ def depth_to_space2(yp):
     """(B, H, W, 4C) phase-major packed → (B, 2H, 2W, C).
 
     The reshape→transpose→reshape leaves XLA:TPU a relayout copy with (2, C)
-    minor dims (~42× lane padding at C=3); `VTOONIFY_PALLAS_D2S=1` routes to
-    the folded-minor Pallas kernel (bit-identical, see
-    ops/pallas_kernels.py::depth_to_space2_pallas) where shapes allow."""
-    import os
-
+    minor dims (~42× lane padding at C=3). A folded-minor Pallas alternative
+    exists (ops/pallas_kernels.py::depth_to_space2_pallas, bit-identical in
+    interpret mode) but current Mosaic rejects its lane de-interleave
+    (unsupported shape cast, verified on v5e 2026-08-18), so the XLA form is
+    the only production path."""
     b, h, w_, c4 = yp.shape
     c = c4 // 4
-    if os.environ.get("VTOONIFY_PALLAS_D2S", "0") == "1" and h % 8 == 0:
-        # TPU only: pallas_call cannot lower on the CPU backend
-        import jax as _jax
-
-        if _jax.default_backend() not in ("cpu",):
-            from vtoonify_tpu.ops.pallas_kernels import depth_to_space2_pallas
-
-            return depth_to_space2_pallas(yp)
     yp = yp.reshape(b, h, w_, 2, 2, c)
     return jnp.transpose(yp, (0, 1, 3, 2, 4, 5)).reshape(b, 2 * h, 2 * w_, c)
 

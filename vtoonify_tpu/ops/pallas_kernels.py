@@ -529,6 +529,15 @@ def affine_warp_bilinear_pallas(img, coef, out_hw, s_bound: float = 2.25,
 # stage-2 step before bf16 synthesis). This kernel keeps the minor dim FOLDED
 # (W·4C lanes in, W·2C out): phase selection is a strided lane slice and the
 # row interleave is a sublane stack — no small-minor tiling anywhere.
+#
+# STATUS: interpret-mode reference only. On-hardware A/B (v5e, 2026-08-18)
+# found current Mosaic rejects the lane de-interleave — the in-kernel
+# reshape (th, W·4C) → (th, W, 4C) lowers to an unsupported vector shape
+# cast ("infer-vector-layout: unsupported shape cast", vector<1x8x6144xf32>
+# → vector<8x512x12xf32>) — and there is no Mosaic-supported primitive for
+# a periodic lane compaction at stride 4C. Production uses the XLA form
+# (nn/layers.py::depth_to_space2); the ~8.5 ms relayout cost was instead
+# halved by bf16 synthesis.
 
 
 def _d2s2_kernel(x_ref, o_ref, *, w, c):
