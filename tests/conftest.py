@@ -35,7 +35,10 @@ _HEAVY_TESTS = {
     "test_demo_directory",
     "test_discriminator_parity",
     "test_dp_inference_frame_sharding",
+    "test_dp_tp_inference_pipeline_e2e",
+    "test_dp_tp_pretrain_step",
     "test_dp_tp_train_step",
+    "test_dp_tp_train_t_step",
     "test_frame_graph_parity",
     "test_generator_w_parity",
     "test_load_reference_vtoonify_and_faceparsing",

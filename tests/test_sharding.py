@@ -132,3 +132,151 @@ def test_dp_tp_train_step():
         assert np.isfinite(float(v)), k
     for leaf in jax.tree_util.tree_leaves(state16b.trainable):
         assert leaf.dtype == jnp.float32
+
+
+def _assert_tp_sharded(params, mesh, min_channels=256):
+    """Wide conv kernels / linear weights must actually be TP-sharded on the
+    mesh (their last dim split over 'tp'), everything else replicated."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    n_wide = 0
+    for path, leaf in jax.tree_util.tree_leaves_with_path(params):
+        wide = (
+            (leaf.ndim == 4 and leaf.shape[-1] >= min_channels)
+            or (leaf.ndim == 2 and leaf.shape[-1] >= min_channels)
+        )
+        want = (
+            P(*([None] * (leaf.ndim - 1) + ["tp"])) if wide else P()
+        )
+        assert leaf.sharding.is_equivalent_to(
+            NamedSharding(mesh, want), leaf.ndim
+        ), f"{jax.tree_util.keystr(path)}: {leaf.sharding} != {want}"
+        n_wide += int(wide)
+    assert n_wide > 0, "no wide params found — TP rule untested"
+
+
+def test_dp_tp_pretrain_step():
+    """Stage-1 encoder distillation on the dp4×tp2 mesh (the reference DDP
+    wraps BOTH stages, train_vtoonify_d.py:454-461) — finite loss, f32 state,
+    and the frozen generator's wide convs really split over 'tp'."""
+    from vtoonify_tpu.train.steps import (
+        init_pretrain_state,
+        pretrain_step,
+        split_trainable,
+    )
+
+    key = jax.random.PRNGKey(20)
+    ks = jax.random.split(key, 4)
+    vt_params = init_vtoonify(ks[0], TINY)
+    parsing_params = init_bisenet(ks[1])
+    directions = jax.random.normal(ks[2], (4, TINY.n_latent, 512)) * 0.1
+
+    mesh = make_mesh(8, tp=2)
+    _, frozen = split_trainable(vt_params, pretrain=True)
+    frozen = shard_params(frozen, mesh, tp=True)
+    _assert_tp_sharded(frozen["generator"], mesh)
+    parsing_sh = shard_params(parsing_params, mesh)
+
+    state = init_pretrain_state(vt_params)
+    state = state._replace(
+        encoder=shard_params(state.encoder, mesh),
+        ema_encoder=shard_params(state.ema_encoder, mesh),
+    )
+    style = shard_array_batch(
+        jax.random.normal(ks[3], (4, TINY.n_latent, 512)) * 0.3, mesh
+    )
+
+    step = jax.jit(pretrain_step, static_argnames=("cfg", "lr"))
+    state2, metrics = step(state, frozen, parsing_sh, TINY, directions,
+                           style, jnp.asarray(0.5), jax.random.PRNGKey(21))
+    jax.block_until_ready(state2)
+    assert np.isfinite(float(metrics["emse"]))
+    assert int(state2.step) == 1
+    for leaf in jax.tree_util.tree_leaves(state2.encoder):
+        assert leaf.dtype == jnp.float32
+
+
+def test_dp_tp_train_t_step():
+    """Full T-backbone GAN step on the dp4×tp2 mesh (the reference's
+    train_vtoonify_t.py DDP-wraps the same stage)."""
+    from vtoonify_tpu.models.generator import init_generator
+    from vtoonify_tpu.models.lpips import init_lpips
+    from vtoonify_tpu.models.psp_encoder import (
+        PSPEncoderConfig,
+        init_psp_encoder,
+    )
+    from vtoonify_tpu.train.steps import (
+        TrainDConfig,
+        init_train_t_state,
+        split_trainable,
+        train_t_step,
+    )
+
+    tiny_t = VToonifyConfig(in_size=32, out_size=128, channel_multiplier=1,
+                            num_res_layers=2, backbone="toonify")
+    key = jax.random.PRNGKey(30)
+    ks = jax.random.split(key, 8)
+    vt_params = init_vtoonify(ks[0], tiny_t)
+    base_params = init_generator(ks[1], tiny_t.generator)
+    parsing_params = init_bisenet(ks[2])
+    directions = jax.random.normal(ks[3], (4, tiny_t.n_latent, 512)) * 0.1
+    dcfg = CondDiscriminatorConfig(size=64, channel_multiplier=1,
+                                   use_condition=False)
+    d_params = init_cond_discriminator(ks[4], dcfg)
+    psp_cfg = PSPEncoderConfig(n_styles=tiny_t.n_latent)
+    psp_params = init_psp_encoder(ks[5], psp_cfg)
+    lpips_params = init_lpips(ks[6])
+    tcfg = TrainDConfig(crop_size=96, lpips_size=64, aug_max_pad=40)
+
+    mesh = make_mesh(8, tp=2)
+    _, frozen = split_trainable(vt_params, pretrain=False)
+    frozen = shard_params(frozen, mesh, tp=True)
+    base_sh = shard_params(base_params, mesh, tp=True)
+    parsing_sh = shard_params(parsing_params, mesh)
+    state = init_train_t_state(vt_params, d_params, tcfg)
+    state = state._replace(
+        trainable=shard_params(state.trainable, mesh, tp=True),
+        d_params=shard_params(state.d_params, mesh, tp=True),
+    )
+    _assert_tp_sharded(state.d_params, mesh)
+
+    step = jax.jit(
+        train_t_step,
+        static_argnames=("cfg", "dcfg", "tcfg", "psp_cfg", "batch"),
+    )
+    state2, metrics = step(
+        state, frozen, base_sh, parsing_sh, psp_params, psp_cfg, None,
+        lpips_params, tiny_t, dcfg, tcfg, directions, 4, jnp.asarray(0.5),
+        ks[7],
+    )
+    jax.block_until_ready(state2)
+    for k, v in metrics.items():
+        assert np.isfinite(float(v)), k
+    assert int(state2.step) == 1
+
+
+def test_dp_tp_inference_pipeline_e2e():
+    """End-to-end ToonifyPipeline batch on a dp4×tp2 mesh: output matches the
+    unsharded single-device pipeline bit-for-bit (frame-axis DP + channel TP
+    on the wide convs; GSPMD inserts all collectives)."""
+    from vtoonify_tpu.pipeline.toonify import ToonifyPipeline
+
+    key = jax.random.PRNGKey(40)
+    ks = jax.random.split(key, 2)
+    vt_params = init_vtoonify(ks[0], TINY)
+    parsing_params = init_bisenet(ks[1])
+
+    frames = np.random.RandomState(2).randint(
+        0, 256, (4, 32, 32, 3), dtype=np.uint8
+    )
+    s_w = jnp.zeros((1, TINY.n_latent, 512))
+
+    mesh = make_mesh(8, tp=2)
+    pipe_sh = ToonifyPipeline(vt_params, TINY, parsing_params,
+                              dtype=jnp.float32, mesh=mesh)
+    pipe_ref = ToonifyPipeline(vt_params, TINY, parsing_params,
+                               dtype=jnp.float32)
+    out = pipe_sh.process_batch(frames, s_w, 0.5)
+    ref = pipe_ref.process_batch(frames, s_w, 0.5)
+    assert out.shape == (4, 128, 128, 3)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
