@@ -125,6 +125,42 @@ def test_reduce_loss_dict():
                                np.mean(np.arange(n) + 1))
 
 
+def test_landmarker_predictor_fallback(tmp_path, monkeypatch):
+    """ensure_predictor: missing model → download attempt (reference
+    style_transfer.py:70-77) → in zero-egress envs, a clear instruction
+    instead of a stack trace; VTOONIFY_NO_DOWNLOAD=1 forbids the fetch."""
+    from vtoonify_tpu.pipeline.landmarks import (
+        LandmarkError,
+        StaticLandmarker,
+        ensure_predictor,
+        make_landmarker,
+    )
+
+    missing = str(tmp_path / "predictor.dat")
+    monkeypatch.setenv("VTOONIFY_NO_DOWNLOAD", "1")
+    with pytest.raises(LandmarkError, match="downloads are disabled"):
+        ensure_predictor(missing)
+
+    monkeypatch.delenv("VTOONIFY_NO_DOWNLOAD")
+    monkeypatch.setattr(
+        "vtoonify_tpu.pipeline.landmarks.PREDICTOR_URL",
+        "http://127.0.0.1:9/nope.bz2")  # unroutable: forces the except path
+    with pytest.raises(LandmarkError, match="wget"):
+        ensure_predictor(missing)
+
+    exists = tmp_path / "have.dat"
+    exists.write_bytes(b"x")
+    assert ensure_predictor(str(exists)) == str(exists)
+
+    # --landmarks bypasses dlib entirely
+    lm = np.zeros((68, 2), np.float32)
+    lk = make_landmarker(predictor_path=missing, landmarks=lm)
+    assert isinstance(lk, StaticLandmarker)
+
+    with pytest.raises(LandmarkError, match="precomputed landmarks"):
+        make_landmarker()
+
+
 def test_model_api_registry():
     from vtoonify_tpu.pipeline.model_api import (
         STYLE_TYPES,
@@ -133,6 +169,9 @@ def test_model_api_registry():
 
     assert len(STYLE_TYPES) == 22
     assert STYLE_TYPES["cartoon1"][1] == 26
-    assert dynamic_batch_size(400, 360) == 8
+    assert dynamic_batch_size(400, 360) == 16    # measured saturation point
+    assert dynamic_batch_size(256, 256) == 16    # standard 256px crop
+    assert dynamic_batch_size(800, 720) == 4     # larger crops scale down
     assert dynamic_batch_size(1920, 1080) == 1
+    assert dynamic_batch_size(0, 0) == 1
     assert dynamic_batch_size(256, 256, on_accelerator=False) == 4

@@ -48,7 +48,11 @@ def build_parser():
     p.add_argument("--padding", type=int, nargs=4,
                    default=[200, 200, 200, 200],
                    help="left, right, top, bottom paddings to the face center")
-    p.add_argument("--batch_size", type=int, default=4)
+    p.add_argument("--batch_size", type=int, default=None,
+                   help="video frames per device dispatch; default picks a "
+                        "resolution-aware batch (16 at the standard 256px "
+                        "crop on TPU, where measured fps/chip saturates — "
+                        "docs/PERF.md; the reference's fixed default is 4)")
     p.add_argument("--parsing_map_path", type=str, default=None)
     p.add_argument("--landmark_model", type=str,
                    default="./checkpoint/shape_predictor_68_face_landmarks.dat")
@@ -147,12 +151,16 @@ def main(argv=None):
         vt_params, cfg, parsing_params, psp_params=psp_params,
         psp_cfg=psp_cfg, latent_avg=latent_avg, exstyle=exstyle,
         dtype=jnp.float32 if args.fp32 else jnp.bfloat16,
+        # device graph ends space-to-depth packed; the writer/image path
+        # finishes the depth-to-space as a host byte permutation (PERF.md)
+        packed_output=True,
     )
 
+    # like the reference (style_transfer.py:70-77), a missing dlib model is
+    # fetched on first use (pipeline/landmarks.py::ensure_predictor); with
+    # --landmarks the dlib path is bypassed entirely
     landmarker = make_landmarker(
-        predictor_path=args.landmark_model
-        if os.path.exists(args.landmark_model) and args.landmarks is None
-        else None,
+        predictor_path=args.landmark_model if args.landmarks is None else None,
         landmarks=args.landmarks,
     )
 

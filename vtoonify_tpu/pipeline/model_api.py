@@ -48,14 +48,18 @@ VIDEO_FRAME_LIMIT_TPU = 300
 
 
 def dynamic_batch_size(width: int, height: int, on_accelerator: bool = True):
-    """Resolution-aware batch heuristic (reference vtoonify_model.py:246-252;
-    the TPU cap is raised to 8 — batch-8 amortization measured ~1.5× the
-    fps/chip of the reference's GPU cap of 4)."""
+    """Resolution-aware batch heuristic (reference vtoonify_model.py:246-252).
+
+    The TPU path targets ~16 frames of 400×360-class pixels per dispatch,
+    capped at 16: measured throughput saturates there (56 fps/chip at
+    batch 4 → 94.6 at 8 → 135.9 at 16 → +1% at 32 on v5e, docs/PERF.md), so
+    the cap is where fps/chip peaks while per-batch HBM stays bounded by
+    scaling the count down for larger crops."""
     if width == 0 or height == 0:
         return 1
     if not on_accelerator:
         return max(1, int(4 * 256 * 256 / width / height))
-    return min(max(1, int(8 * 400 * 360 / width / height)), 8)
+    return min(max(1, int(16 * 400 * 360 / width / height)), 16)
 
 
 @dataclass
@@ -121,6 +125,8 @@ class Model:
             vt_params, cfg, self._parsing, psp_params=self._psp,
             psp_cfg=self._psp_cfg, latent_avg=self._latent_avg,
             exstyle=exstyle, dtype=self.dtype,
+            # final depth-to-space finishes host-side as a byte permutation
+            packed_output=True,
         )
         self._pipelines[style_type] = pipe
         return pipe

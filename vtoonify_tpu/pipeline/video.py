@@ -113,7 +113,7 @@ class _AsyncWriter:
     """cv2.VideoWriter fed from a bounded queue on a worker thread."""
 
     def __init__(self, path: str, fps: float, size_wh, maxsize: int = 8,
-                 timer=None):
+                 timer=None, packed: bool = False):
         import cv2
 
         self._cv2 = cv2
@@ -124,6 +124,7 @@ class _AsyncWriter:
         self._thread = threading.Thread(target=self._run, daemon=True)
         self._count = 0
         self._timer = timer
+        self._packed = packed
         self._thread.start()
 
     def _run(self):
@@ -138,7 +139,13 @@ class _AsyncWriter:
             ctx = (self._timer.stage("encode") if self._timer is not None
                    else contextlib.nullcontext())
             with ctx:
-                self._writer.write(native.rgb_to_bgr(item))
+                if self._packed:
+                    # packed_output pipeline: finish the depth-to-space as a
+                    # byte permutation fused with the BGR swap
+                    self._writer.write(
+                        native.depth_to_space2_u8(item, bgr=True))
+                else:
+                    self._writer.write(native.rgb_to_bgr(item))
             self._count += 1
 
     def write(self, frame_rgb_u8: np.ndarray):
@@ -161,7 +168,7 @@ def toonify_video(
     landmarker=None,
     scale_image: bool = True,
     padding=(200, 200, 200, 200),
-    batch_size: int = 4,
+    batch_size: Optional[int] = None,  # None → resolution-aware auto
     max_in_flight: int = 3,
     crop_out_path: Optional[str] = None,
     s_w=None,
@@ -177,6 +184,11 @@ def toonify_video(
     (the --parsing_map_path capability). Pass a
     `vtoonify_tpu.utils.profiling.StageTimer` as `timer` to get a
     decode/preprocess/dispatch/fetch/encode breakdown in `result.stages`.
+
+    `batch_size=None` (the default) picks a resolution-aware batch from the
+    first frame's crop size via `model_api.dynamic_batch_size` — 16 at the
+    standard 256px crop on an accelerator, where measured fps/chip saturates
+    (docs/PERF.md), scaling down for larger crops.
     """
     import contextlib
 
@@ -218,7 +230,7 @@ def toonify_video(
 
     frame_iter = _PrefetchIterator(
         iterate_video_frames(in_path),
-        depth=max(16, 2 * batch_size),
+        depth=max(16, 2 * (batch_size or 16)),
     )
     while True:
         with timed("decode"):
@@ -235,7 +247,18 @@ def toonify_video(
                 )
             frame = crop_mod.preprocess_frame(frame, crop_params, scale_image)
             h, w = frame.shape[:2]
-            writer = _AsyncWriter(out_path, fps, (4 * w, 4 * h), timer=timer)
+            if batch_size is None:
+                import jax
+
+                from vtoonify_tpu.pipeline.model_api import dynamic_batch_size
+
+                batch_size = dynamic_batch_size(
+                    w, h,
+                    on_accelerator=jax.default_backend() != "cpu",
+                )
+            writer = _AsyncWriter(
+                out_path, fps, (4 * w, 4 * h), timer=timer,
+                packed=getattr(pipeline, "packed_output", False))
             if crop_out_path:
                 crop_writer = _AsyncWriter(crop_out_path, fps, (w, h))
             if s_w is None:
