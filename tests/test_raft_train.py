@@ -229,6 +229,74 @@ def test_raft_train_step():
         np.asarray(state.params["cnet"]["bn1"]["running_var"]), bn_var0)
 
 
+def test_batch_norm_train_mode_matches_torch():
+    """batch_norm_2d_train vs torch BatchNorm2d(train mode) — outputs AND
+    running-buffer updates over two consecutive batches (biased batch var in
+    the normalization, unbiased in the buffer, momentum 0.1)."""
+    import torch
+
+    from vtoonify_tpu.nn.layers import batch_norm_2d_train
+
+    rng = np.random.RandomState(90)
+    c = 5
+    bn = torch.nn.BatchNorm2d(c)
+    with torch.no_grad():
+        bn.weight.copy_(torch.tensor(rng.randn(c).astype(np.float32)))
+        bn.bias.copy_(torch.tensor(rng.randn(c).astype(np.float32)))
+    bn.train()
+
+    p = {
+        "weight": jnp.asarray(bn.weight.detach().numpy()),
+        "bias": jnp.asarray(bn.bias.detach().numpy()),
+        "running_mean": jnp.zeros((c,), jnp.float32),
+        "running_var": jnp.ones((c,), jnp.float32),
+    }
+    for i in range(2):
+        x = rng.randn(3, 8, 6, c).astype(np.float32) * 2 + i
+        with torch.no_grad():
+            y_t = bn(torch.tensor(x.transpose(0, 3, 1, 2)))
+        y_j, p = batch_norm_2d_train(p, jnp.asarray(x))
+        np.testing.assert_allclose(
+            np.asarray(y_j), y_t.numpy().transpose(0, 2, 3, 1),
+            rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(p["running_mean"]),
+                               bn.running_mean.numpy(), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(p["running_var"]),
+                               bn.running_var.numpy(), rtol=1e-5, atol=1e-6)
+
+
+def test_raft_train_step_train_bn():
+    """The 'chairs'-stage mode (train_bn=True): BN running buffers move with
+    batch statistics while the step stays finite — reference
+    model/raft/train.py:146-147 only freezes BN after chairs."""
+    rng = np.random.RandomState(86)
+    params = init_raft(jax.random.PRNGKey(3))
+    bn_mean0 = np.asarray(params["cnet"]["bn1"]["running_mean"])
+    inner_var0 = np.asarray(
+        params["cnet"]["layers"][1][0]["norms"]["norm3"]["running_var"])
+    tcfg = RaftTrainConfig(lr=1e-4, num_steps=10, iters=2, train_bn=True)
+    state = init_raft_train_state(params, tcfg)
+    cfg = RAFTConfig()
+
+    step = jax.jit(raft_train_step, donate_argnums=(0,),
+                   static_argnames=("cfg", "tcfg"))
+    img1 = jnp.asarray(rng.rand(2, 48, 64, 3).astype(np.float32) * 255)
+    img2 = jnp.asarray(rng.rand(2, 48, 64, 3).astype(np.float32) * 255)
+    flow = jnp.asarray(rng.randn(2, 48, 64, 2).astype(np.float32))
+    valid = jnp.ones((2, 48, 64), jnp.float32)
+
+    state, metrics = step(state, img1, img2, flow, valid, cfg, tcfg,
+                          jax.random.PRNGKey(0))
+    assert all(np.isfinite(float(v)) for v in metrics.values())
+    new_mean = np.asarray(state.params["cnet"]["bn1"]["running_mean"])
+    new_inner = np.asarray(
+        state.params["cnet"]["layers"][1][0]["norms"]["norm3"]["running_var"])
+    assert np.abs(new_mean - bn_mean0).max() > 0
+    assert np.abs(new_inner - inner_var0).max() > 0
+    # fnet has no BN; its instance-norm path must be unaffected by the flag
+    assert "bn1" not in state.params["fnet"]
+
+
 def test_raft_train_cli(tmp_path, monkeypatch, capsys):
     """Drive the vtoonify-raft-train CLI end to end on a mini KITTI tree:
     2 real optimizer steps at tiny crops, checkpoint written."""

@@ -54,16 +54,21 @@ def _norm(x, kind, p=None):
     return x
 
 
-def _res_block(p, x, stride, norm_fn, norms):
-    y = jax.nn.relu(_norm(L.conv2d_torch(p["conv1"], x, stride=stride,
-                                         padding=1), norm_fn,
-                          norms.get("norm1") if norms else None))
-    y = jax.nn.relu(_norm(L.conv2d_torch(p["conv2"], y, padding=1), norm_fn,
-                          norms.get("norm2") if norms else None))
+def _res_block(p, x, stride, norm_fn, norms, train_bn=False):
+    new_norms = dict(norms) if (train_bn and norms) else None
+
+    def nrm(h, name):
+        if train_bn and norm_fn == "batch":
+            y, new_norms[name] = L.batch_norm_2d_train(norms[name], h)
+            return y
+        return _norm(h, norm_fn, norms.get(name) if norms else None)
+
+    y = jax.nn.relu(nrm(L.conv2d_torch(p["conv1"], x, stride=stride,
+                                       padding=1), "norm1"))
+    y = jax.nn.relu(nrm(L.conv2d_torch(p["conv2"], y, padding=1), "norm2"))
     if "down" in p:
-        x = _norm(L.conv2d_torch(p["down"], x, stride=stride), norm_fn,
-                  norms.get("norm3") if norms else None)
-    return jax.nn.relu(x + y)
+        x = nrm(L.conv2d_torch(p["down"], x, stride=stride), "norm3")
+    return jax.nn.relu(x + y), new_norms
 
 
 def init_basic_encoder(key, output_dim, norm_fn):
@@ -93,16 +98,34 @@ def init_basic_encoder(key, output_dim, norm_fn):
     return p
 
 
-def basic_encoder_apply(p, x, norm_fn):
+def basic_encoder_apply(p, x, norm_fn, train_bn=False):
+    """train_bn (batch norm_fn only): use batch statistics and additionally
+    return the params tree with updated running buffers —
+    `(out, new_p)` instead of `out`."""
+    train_bn = train_bn and norm_fn == "batch"
     h = L.conv2d_torch(p["conv1"], x, stride=2, padding=3)
-    h = _norm(h, norm_fn, p.get("bn1"))
+    if train_bn:
+        new_p = dict(p)
+        h, new_p["bn1"] = L.batch_norm_2d_train(p["bn1"], h)
+    else:
+        h = _norm(h, norm_fn, p.get("bn1"))
     h = jax.nn.relu(h)
     strides = [1, 2, 2]
+    new_layers = []
     for li, layer in enumerate(p["layers"]):
+        row = []
         for bi, blk in enumerate(layer):
             s = strides[li] if bi == 0 else 1
-            h = _res_block(blk, h, s, norm_fn, blk.get("norms"))
-    return L.conv2d_torch(p["conv2"], h)
+            h, norms_upd = _res_block(blk, h, s, norm_fn, blk.get("norms"),
+                                      train_bn)
+            if train_bn:
+                row.append({**blk, "norms": norms_upd})
+        new_layers.append(row)
+    out = L.conv2d_torch(p["conv2"], h)
+    if train_bn:
+        new_p["layers"] = new_layers
+        return out, new_p
+    return out
 
 
 # --- correlation pyramid (corr.py CorrBlock) --------------------------------
@@ -301,9 +324,13 @@ def upsample_flow_convex(flow, mask):
 
 
 def raft_apply(params, image1, image2, cfg: RAFTConfig = RAFTConfig(),
-               iters: int = 12, test_mode: bool = True):
+               iters: int = 12, test_mode: bool = True,
+               train_bn: bool = False):
     """image1/image2: (B, H, W, 3) in [0, 255]. Returns (flow_lr, flow_up) in
-    test mode, else the list of per-iteration upsampled flows."""
+    test mode, else the list of per-iteration upsampled flows — and with
+    train_bn (the reference's 'chairs' stage trains the context encoder's
+    BatchNorm, model/raft/train.py:146-147) the non-test return is
+    (flows_up, params_with_updated_bn_buffers)."""
     x1 = 2 * (image1 / 255.0) - 1.0
     x2 = 2 * (image2 / 255.0) - 1.0
 
@@ -311,7 +338,11 @@ def raft_apply(params, image1, image2, cfg: RAFTConfig = RAFTConfig(),
     fmap2 = basic_encoder_apply(params["fnet"], x2, "instance")
     pyramid = build_corr_pyramid(fmap1, fmap2, cfg.corr_levels)
 
-    cnet = basic_encoder_apply(params["cnet"], x1, "batch")
+    if train_bn and not test_mode:
+        cnet, new_cnet = basic_encoder_apply(params["cnet"], x1, "batch",
+                                             train_bn=True)
+    else:
+        cnet = basic_encoder_apply(params["cnet"], x1, "batch")
     net = jnp.tanh(cnet[..., : cfg.hidden_dim])
     inp = jax.nn.relu(cnet[..., cfg.hidden_dim:])
 
@@ -331,4 +362,6 @@ def raft_apply(params, image1, image2, cfg: RAFTConfig = RAFTConfig(),
 
     if test_mode:
         return coords1 - coords0, flows_up[-1]
+    if train_bn:
+        return flows_up, {**params, "cnet": new_cnet}
     return flows_up

@@ -7,10 +7,11 @@ jitted function — forward over all refinement iterations, sequence loss,
 AdamW + global-norm clipping + OneCycle LR — while the stochastic image
 augmentation (photometric jitter, eraser, scale/stretch/flip/crop) stays on
 host in numpy/cv2 feeding fixed-shape crops, exactly where the reference
-keeps it (DataLoader workers). Batch-norm runs in eval mode (running stats):
-the reference itself freezes BN for every stage after 'chairs'
-(train.py:146-147); train-mode BN statistics are the one deviation, and the
-BN affine parameters still train.
+keeps it (DataLoader workers). Batch-norm follows the reference's staging
+exactly (train.py:146-147): batch-stats BN with running-buffer updates on
+the 'chairs' stage (`RaftTrainConfig.train_bn`, set by the CLI), frozen
+running-stats BN for every later stage; the BN affine parameters train in
+both modes.
 
 Augmentation is distribution-equivalent, not bit-matched — randomized
 augmentation has no canonical bitstream (torchvision ColorJitter vs the
@@ -109,6 +110,9 @@ class RaftTrainConfig(NamedTuple):
     gamma: float = 0.8          # sequence-loss weighting
     iters: int = 12             # refinement iterations during training
     add_noise: bool = False     # per-batch U[0,5]-stdev gaussian (train.py:166)
+    train_bn: bool = False      # batch-stats BN + running-buffer updates: the
+    # reference trains BN on 'chairs' and freezes it for every later stage
+    # (train.py:146-147) — the CLI sets this per stage
 
 
 def _param_labels(params):
@@ -164,14 +168,29 @@ def raft_train_step(state: RaftTrainState, image1, image2, flow_gt, valid,
     opt = make_raft_optimizer(tcfg)
 
     def loss_fn(params):
-        preds = raft_apply(params, image1, image2, cfg, iters=tcfg.iters,
-                           test_mode=False)
-        return sequence_loss(preds, flow_gt, valid, gamma=tcfg.gamma)
+        if tcfg.train_bn:
+            preds, upd = raft_apply(params, image1, image2, cfg,
+                                    iters=tcfg.iters, test_mode=False,
+                                    train_bn=True)
+        else:
+            preds = raft_apply(params, image1, image2, cfg, iters=tcfg.iters,
+                               test_mode=False)
+            upd = None
+        loss, metrics = sequence_loss(preds, flow_gt, valid, gamma=tcfg.gamma)
+        return loss, (metrics, upd)
 
-    (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-        state.params)
+    (loss, (metrics, bn_upd)), grads = jax.value_and_grad(
+        loss_fn, has_aux=True)(state.params)
     updates, opt_state = opt.update(grads, state.opt_state, state.params)
     params = optax.apply_updates(state.params, updates)
+    if bn_upd is not None:
+        # fold the new BN running buffers in (they are 'freeze'-labelled for
+        # the optimizer, so the AdamW update left them untouched)
+        def pick(path, old, new):
+            k = getattr(path[-1], "key", None)
+            return new if k in ("running_mean", "running_var") else old
+
+        params = jax.tree_util.tree_map_with_path(pick, params, bn_upd)
     metrics = dict(metrics, loss=loss)
     return RaftTrainState(params, opt_state, state.step + 1), metrics
 
@@ -598,6 +617,12 @@ def main(argv=None):
     p.add_argument("--clip", type=float, default=1.0)
     p.add_argument("--gamma", type=float, default=0.8)
     p.add_argument("--add_noise", action="store_true")
+    p.add_argument("--freeze_bn", dest="freeze_bn", action="store_true",
+                   default=None,
+                   help="force running-stats BN; default follows the "
+                        "reference (train BN on 'chairs', frozen after)")
+    p.add_argument("--train_bn", dest="freeze_bn", action="store_false",
+                   help="force batch-stats BN on any stage")
     p.add_argument("--data_root", type=str, default="datasets",
                    help="directory holding Sintel/ KITTI/ FlyingChairs_release/"
                         " FlyingThings3D/ HD1k/ trees")
@@ -614,10 +639,13 @@ def main(argv=None):
     from vtoonify_tpu.utils import checkpoint as ckpt_util
 
     cfg = RAFTConfig()
+    freeze_bn = (args.stage != "chairs" if args.freeze_bn is None
+                 else args.freeze_bn)
     tcfg = RaftTrainConfig(lr=args.lr, num_steps=args.num_steps,
                            wdecay=args.wdecay, epsilon=args.epsilon,
                            clip=args.clip, gamma=args.gamma,
-                           iters=args.iters, add_noise=args.add_noise)
+                           iters=args.iters, add_noise=args.add_noise,
+                           train_bn=not freeze_bn)
 
     if args.restore_ckpt:
         import torch

@@ -359,6 +359,29 @@ def batch_norm_2d(p, x, eps: float = 1e-5):
     ).astype(x.dtype)
 
 
+def batch_norm_2d_train(p, x, momentum: float = 0.1, eps: float = 1e-5):
+    """torch nn.BatchNorm2d in TRAIN mode: normalize with the biased batch
+    statistics (gradients flow through them), update the running buffers with
+    the unbiased variance at torch's default momentum 0.1
+    (reference model/raft/train.py:146-147 trains BN on the 'chairs' stage).
+    Returns (y, updated_p)."""
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=(0, 1, 2))
+    var = jnp.mean(jnp.square(xf - mean), axis=(0, 1, 2))  # biased
+    inv = lax.rsqrt(var + eps) * p["weight"]
+    y = x * inv.astype(x.dtype) + (p["bias"] - mean * inv).astype(x.dtype)
+    n = x.shape[0] * x.shape[1] * x.shape[2]
+    unbiased = var * (n / max(n - 1, 1))
+    new_p = {
+        **p,
+        "running_mean": (1 - momentum) * p["running_mean"]
+        + momentum * lax.stop_gradient(mean),
+        "running_var": (1 - momentum) * p["running_var"]
+        + momentum * lax.stop_gradient(unbiased),
+    }
+    return y, new_p
+
+
 def init_batch_norm_2d(ch):
     return {
         "weight": jnp.ones((ch,), jnp.float32),
@@ -464,6 +487,40 @@ def depth_to_space2(yp):
     return jnp.transpose(yp, (0, 1, 3, 2, 4, 5)).reshape(b, 2 * h, 2 * w_, c)
 
 
+def space_to_depth2(x):
+    """(B, 2H, 2W, C) → (B, H, W, 4C) phase-major packed — the inverse of
+    depth_to_space2."""
+    b, h2, w2, c = x.shape
+    x = x.reshape(b, h2 // 2, 2, w2 // 2, 2, c)
+    return jnp.transpose(x, (0, 1, 3, 2, 4, 5)).reshape(
+        b, h2 // 2, w2 // 2, 4 * c)
+
+
+def upsample_2x_packed(x, kernel_1d):
+    """space_to_depth2(upsample_2x(x, k)) computed natively in packed layout.
+
+    Each output phase of the ×2 FIR upsample is a 2-tap-per-axis filter on the
+    INPUT grid (phase 0 per axis: taps (K0, K1) at offsets (-1, 0); phase 1:
+    (K2, K3) at (0, +1), K = 2·kernel_1d — verified against upsample_2x by
+    impulse analysis), so all four phases are ONE 3×3 conv producing the
+    phase-major (B, H, W, 4C) packed result — no 2H×2W unpacked tensor, no
+    (2, C)-minor relayout. Values match the separable upfirdn2d path to float
+    rounding (product order differs), not bit-exactly."""
+    k = kernel_1d * 2.0
+    assert k.shape[0] == 4, "packed upsample assumes the 4-tap blur kernel"
+    c = x.shape[-1]
+    z = jnp.zeros((), k.dtype)
+    taps = [jnp.stack([k[0], k[1], z]), jnp.stack([z, k[2], k[3]])]
+    eye = jnp.eye(c, dtype=k.dtype)
+    blocks = []
+    for py in range(2):
+        for px in range(2):
+            f = taps[py][:, None] * taps[px][None, :]  # (3, 3)
+            blocks.append(f[:, :, None, None] * eye)   # (3, 3, C, C)
+    w = jnp.concatenate(blocks, axis=-1).astype(x.dtype)  # (3, 3, C, 4C)
+    return conv2d(x, w, padding=1)
+
+
 def _pack_noise2(noise, dtype):
     """(B, 2H, 2W, 1) noise image → (B, H, W, 4) in the packed phase order
     (py, px) that depth_to_space2 unpacks."""
@@ -525,8 +582,9 @@ def styled_conv_packed(p, xp, style, noise=None):
     return fused_leaky_relu(y, bias)
 
 
-def to_rgb_packed(p, xp, style, skip=None, blur_kernel=BLUR_KERNEL):
-    """ToRGB on packed input; returns UNPACKED (B, 2H, 2W, 3) + skip chain."""
+def _to_rgb_packed_conv(p, xp, style):
+    """The block-diagonal packed 1×1 ToRGB conv + bias: (B,H,W,4Cin) →
+    (B,H,W,12) phase-major packed RGB."""
     w = p["conv"]["weight"]  # (1,1,Cin,3)
     cin = w.shape[2]
     scale = 1.0 / math.sqrt(cin)
@@ -537,8 +595,27 @@ def to_rgb_packed(p, xp, style, skip=None, blur_kernel=BLUR_KERNEL):
         kp = kp.at[0, 0, ph * cin:(ph + 1) * cin, ph * 3:(ph + 1) * 3].set(wsc)
     sp = jnp.tile(s.astype(xp.dtype), (1, 4))[:, None, None, :]
     y = conv2d(xp * sp, kp)
-    y = y + jnp.tile(p["bias"].reshape(3), 4).astype(y.dtype)
-    out = depth_to_space2(y)
+    return y + jnp.tile(p["bias"].reshape(3), 4).astype(y.dtype)
+
+
+def to_rgb_packed(p, xp, style, skip=None, blur_kernel=BLUR_KERNEL):
+    """ToRGB on packed input; returns UNPACKED (B, 2H, 2W, 3) + skip chain."""
+    out = depth_to_space2(_to_rgb_packed_conv(p, xp, style))
     if skip is not None:
         out = out + upsample_2x(skip, make_kernel(blur_kernel).astype(skip.dtype))
+    return out
+
+
+def to_rgb_packed_stay(p, xp, style, skip=None, blur_kernel=BLUR_KERNEL):
+    """ToRGB on packed input, staying PACKED: returns (B, H, W, 12) — the
+    phase-major form of to_rgb_packed's output. The skip chain is upsampled
+    directly into packed layout (upsample_2x_packed), so the graph's final
+    stage emits no 2H×2W float tensor at all: the depth-to-space becomes a
+    pure uint8 index permutation downstream (host-side, or free in the
+    output-conversion pass). Matches to_rgb_packed to float rounding (the
+    packed skip upsample fuses the two separable FIR passes)."""
+    out = _to_rgb_packed_conv(p, xp, style)
+    if skip is not None:
+        out = out + upsample_2x_packed(
+            skip, make_kernel(blur_kernel).astype(skip.dtype))
     return out
