@@ -73,7 +73,7 @@ def _build_flagship(batch):
     return cfg, vt_params, parsing_params, frame_graph, frames, s_w, d_s
 
 
-def measure_device_fps(batch, reps, built=None):
+def measure_device_fps(batch, reps, built=None, packed=False):
     cfg, vt_params, parsing_params, frame_graph, frames, s_w, d_s = (
         built if built is not None else _build_flagship(batch)
     )
@@ -87,7 +87,7 @@ def measure_device_fps(batch, reps, built=None):
         f = frames
         for _ in range(reps):
             out = frame_graph(vt_params, cfg, parsing_params, f, s_w, d_s,
-                              dtype=dtype)
+                              dtype=dtype, packed_out=packed)
             acc = acc + jnp.sum(out.astype(jnp.uint32))
             f = frames ^ (out[0, 0, 0, 0] & 1)  # serialize iterations
         return acc
@@ -97,13 +97,14 @@ def measure_device_fps(batch, reps, built=None):
     return batch / per_graph, per_graph / batch * 1000
 
 
-def measure_flops_per_frame(batch, built=None):
+def measure_flops_per_frame(batch, built=None, packed=False):
     """XLA cost analysis of the compiled flagship graph (VERDICT r1 #7)."""
     cfg, vt_params, parsing_params, frame_graph, frames, s_w, d_s = (
         built if built is not None else _build_flagship(batch)
     )
     fn = jax.jit(lambda f, s, d: frame_graph(vt_params, cfg, parsing_params,
-                                             f, s, d, dtype=jnp.bfloat16))
+                                             f, s, d, dtype=jnp.bfloat16,
+                                             packed_out=packed))
     cost = fn.lower(frames, s_w, d_s).compile().cost_analysis()
     if isinstance(cost, (list, tuple)):
         cost = cost[0]
@@ -122,7 +123,9 @@ def measure_e2e_fps(batch, n_frames, size=256):
 
     cfg = VToonifyConfig()
     k1, k2 = jax.random.split(jax.random.PRNGKey(0))
-    pipe = ToonifyPipeline(init_vtoonify(k1, cfg), cfg, init_bisenet(k2))
+    packed = os.environ.get("BENCH_PACKED", "1") == "1"
+    pipe = ToonifyPipeline(init_vtoonify(k1, cfg), cfg, init_bisenet(k2),
+                           packed_output=packed)
     rng = np.random.RandomState(1)
     s_w = jnp.asarray(rng.randn(1, cfg.n_latent, 512).astype(np.float32) * 0.3)
 
@@ -160,19 +163,25 @@ def main():
     run_e2e = os.environ.get("BENCH_E2E", "1") != "0"
     e2e_frames = int(os.environ.get("BENCH_E2E_FRAMES", "48"))
     run_mfu = os.environ.get("BENCH_MFU", "1") == "1"
+    # BENCH_PACKED=1 (production default): the graph ends space-to-depth
+    # packed and the final depth-to-space runs host-side as a byte
+    # permutation fused into the writer's BGR pass (pipeline/toonify.py
+    # packed_output; same bytes over D2H, host unpack measured in e2e_fps)
+    packed = os.environ.get("BENCH_PACKED", "1") == "1"
 
     built = _build_flagship(batch)  # shared: fps timing + cost analysis
-    fps, p50_ms = measure_device_fps(batch, reps, built=built)
+    fps, p50_ms = measure_device_fps(batch, reps, built=built, packed=packed)
     rec = {
         "metric": "frames/sec/chip @1024px toonify "
-                  f"(batch {batch}, p50 {p50_ms:.1f} ms/frame)",
+                  f"(batch {batch}, p50 {p50_ms:.1f} ms/frame"
+                  f"{', packed-out' if packed else ''})",
         "value": round(float(fps), 2),
         "unit": "fps",
         "vs_baseline": round(float(fps) / 60.0, 3),
     }
 
     if run_mfu:
-        flops = measure_flops_per_frame(batch, built=built)
+        flops = measure_flops_per_frame(batch, built=built, packed=packed)
         rec["gflops_per_frame"] = round(flops / 1e9, 2)
         rec["achieved_tflops"] = round(flops * fps / 1e12, 2)
         rec["mfu_vs_v5e_bf16_peak"] = round(

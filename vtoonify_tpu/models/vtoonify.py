@@ -241,10 +241,17 @@ def vtoonify_apply(
     d_s=None,
     return_mask: bool = False,
     return_feat: bool = False,
+    packed_out: bool = False,
 ):
     """reference model/vtoonify.py:210-277. x: (B, H, W, 3+19) NHWC in [-1,1]
     RGB + parsing-logit channels; H = W = multiple of 8 (any size; fusion
-    stages are determined by cfg.in_size)."""
+    stages are determined by cfg.in_size).
+
+    packed_out: return the image in space-to-depth PACKED phase-major form
+    (B, 2H_out/2... i.e. (B, Hout/2, Wout/2, 12)) — the final ToRGB + skip
+    upsample stay packed (nn/layers.py::to_rgb_packed_stay), so no unpacked
+    full-res float tensor is ever materialized; the caller finishes the
+    depth-to-space as a uint8 permutation (pipeline/toonify.py)."""
     is_d = cfg.backbone == "dualstylegan"
     assert style is not None or return_feat, "style=None needs return_feat"
     resstyles, adastyles = prepare_styles(params, cfg, style)
@@ -323,9 +330,14 @@ def vtoonify_apply(
             )
             outp = L.styled_conv_packed(gp["convs"][2 * pair + 1], outp,
                                         adastyles[:, _index + 7])
-            skip = L.to_rgb_packed(gp["to_rgbs"][pair], outp,
-                                   adastyles[:, _index + 8], skip)
-            out = L.depth_to_space2(outp)
+            if packed_out and pair == n_pairs - 1:
+                # final stage: keep the image packed end-to-end
+                skip = L.to_rgb_packed_stay(gp["to_rgbs"][pair], outp,
+                                            adastyles[:, _index + 8], skip)
+            else:
+                skip = L.to_rgb_packed(gp["to_rgbs"][pair], outp,
+                                       adastyles[:, _index + 8], skip)
+                out = L.depth_to_space2(outp)
             _index += 2
             continue
         out = L.styled_conv(
@@ -337,6 +349,10 @@ def vtoonify_apply(
         _index += 2
 
     image = skip
+    if packed_out and image.shape[-1] != 12:
+        # final stage ran unpacked (wide-channel tail in exotic configs):
+        # honor the packed contract anyway
+        image = L.space_to_depth2(image)
     if return_mask and is_d:
         return image, m_Es
     return image

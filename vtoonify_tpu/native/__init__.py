@@ -51,6 +51,7 @@ def lib():
         L.rgb_to_bgr.argtypes = [u8, u8, i64]
         L.u8_to_unit_f32.argtypes = [u8, f32, i64]
         L.unit_f32_to_u8.argtypes = [f32, u8, i64]
+        L.depth_to_space2_u8.argtypes = [u8, u8, i64, i64, i64, i64]
         _LIB = L
     except Exception:
         _LIB = None
@@ -84,6 +85,23 @@ def rgb_to_bgr(src: np.ndarray) -> np.ndarray:
         L.rgb_to_bgr(_u8p(src), _u8p(out), src.shape[0] * src.shape[1])
         return out
     return np.ascontiguousarray(src[..., ::-1])
+
+
+def depth_to_space2_u8(src: np.ndarray, bgr: bool = False) -> np.ndarray:
+    """(H, W, 4C) phase-major packed uint8 → (2H, 2W, C) — the host-side
+    finish of the packed synthesis tail (nn/layers.py::depth_to_space2 as a
+    byte permutation). bgr=True fuses the writer's RGB→BGR swap (C must
+    be 3)."""
+    h, w, c4 = src.shape
+    c = c4 // 4
+    L = lib()
+    if L is not None and src.flags.c_contiguous:
+        out = np.empty((2 * h, 2 * w, c), np.uint8)
+        L.depth_to_space2_u8(_u8p(src), _u8p(out), h, w, c, int(bgr))
+        return out
+    out = src.reshape(h, w, 2, 2, c).transpose(0, 2, 1, 3, 4).reshape(
+        2 * h, 2 * w, c)
+    return np.ascontiguousarray(out[..., ::-1]) if bgr else out
 
 
 def u8_to_unit(src: np.ndarray) -> np.ndarray:

@@ -40,12 +40,18 @@ def _cast_tree(tree, dtype):
 
 
 def frame_graph(vt_params, vt_cfg: VToonifyConfig, parsing_params, frames_u8,
-                s_w, d_s, dtype=jnp.bfloat16):
+                s_w, d_s, dtype=jnp.bfloat16, packed_out: bool = False):
     """uint8 frames (B, H, W, 3) → stylized uint8 (B, 4H, 4W, 3).
 
     Equivalent to reference style_transfer.py:165-177: BiSeNet on the 2×
     bilinear-upsampled frame (×2 gain), nearest ×0.5 downsample of the logits,
     1/16-weighted concat, VToonify forward, clamp.
+
+    packed_out: quantize in the space-to-depth packed layout and return
+    (B, 2H, 2W, 12) uint8 phase-major — the synthesis tail never materializes
+    an unpacked full-res float tensor (no (2,3)-minor relayout on device);
+    the depth-to-space finishes as a byte permutation fused into the host's
+    BGR/encode pass (native.depth_to_space2_u8). Same bytes over D2H.
     """
     x = frames_u8.astype(dtype) / jnp.asarray(127.5, dtype) - 1.0
     b, h, w, _ = x.shape
@@ -56,13 +62,15 @@ def frame_graph(vt_params, vt_cfg: VToonifyConfig, parsing_params, frames_u8,
         [x, x_p.astype(dtype) * jnp.asarray(PARSING_WEIGHT, dtype)], axis=-1
     )
     s_w_b = jnp.broadcast_to(s_w.astype(dtype), (b,) + s_w.shape[-2:])
-    y = vtoonify_apply(vt_params, vt_cfg, inputs, s_w_b, d_s=d_s)
+    y = vtoonify_apply(vt_params, vt_cfg, inputs, s_w_b, d_s=d_s,
+                       packed_out=packed_out)
     y = jnp.clip(y, -1.0, 1.0)
     return jnp.round((y.astype(jnp.float32) + 1.0) * 127.5).astype(jnp.uint8)
 
 
 def frame_graph_with_parsing(vt_params, vt_cfg: VToonifyConfig, frames_u8,
-                             x_p, s_w, d_s, dtype=jnp.bfloat16):
+                             x_p, s_w, d_s, dtype=jnp.bfloat16,
+                             packed_out: bool = False):
     """Variant taking precomputed parsing maps (B, H, W, 19) — the
     --parsing_map_path capability (style_transfer.py:168-174)."""
     x = frames_u8.astype(dtype) / jnp.asarray(127.5, dtype) - 1.0
@@ -71,7 +79,8 @@ def frame_graph_with_parsing(vt_params, vt_cfg: VToonifyConfig, frames_u8,
         [x, x_p.astype(dtype) * jnp.asarray(PARSING_WEIGHT, dtype)], axis=-1
     )
     s_w_b = jnp.broadcast_to(s_w.astype(dtype), (b,) + s_w.shape[-2:])
-    y = vtoonify_apply(vt_params, vt_cfg, inputs, s_w_b, d_s=d_s)
+    y = vtoonify_apply(vt_params, vt_cfg, inputs, s_w_b, d_s=d_s,
+                       packed_out=packed_out)
     y = jnp.clip(y, -1.0, 1.0)
     return jnp.round((y.astype(jnp.float32) + 1.0) * 127.5).astype(jnp.uint8)
 
@@ -94,18 +103,33 @@ class ToonifyPipeline:
         latent_avg=None,
         exstyle=None,  # z+ exemplar code (1, n_latent, 512), pre-zplus2wplus
         dtype=jnp.bfloat16,
-        mesh=None,  # optional jax.sharding Mesh: shard the frame axis over 'dp'
+        mesh=None,  # optional jax.sharding Mesh: shard the frame axis over
+        # 'dp'; when the mesh has a 'tp' axis > 1, the wide (≥256-channel)
+        # conv/linear weights are additionally channel-sharded over 'tp'
         size_bucket: Optional[int] = None,  # round H,W up to a multiple and
         # crop the output — one compiled program per bucket instead of per
         # exact crop size. NOT bit-exact: BiSeNet's global average pools and
         # Fusion's instance norms see the reflected padding, measured ≤1 uint8
         # LSB over the interior with larger (≤~12 LSB) deviations confined to
         # the output band nearest the padded edge (tests/test_bucketing.py)
+        packed_output: bool = False,  # process_batch returns space-to-depth
+        # PACKED (B, 2H, 2W, 12) uint8: the device graph skips the final
+        # depth-to-space relayout; consumers finish it on host via
+        # `unpack_frame` (the video engine's writer thread and process_image
+        # do this automatically, fused with the BGR conversion)
+        bucket_margin: int = 0,  # paranoid bucketing: reflect-pad this many
+        # extra pixels on ALL sides before bucket rounding and crop them from
+        # the output — pushes the padding halo outside the kept region. The
+        # production-scale measurement (docs/PERF.md) shows the halo decays
+        # within 32px of the padded edge, so bucket_margin=32 makes bucketed
+        # outputs match exact compilation to the ≤2-LSB global-stat floor
     ):
         self.vt_cfg = vt_cfg
         self.dtype = dtype
         self.mesh = mesh
         self.size_bucket = size_bucket
+        self.bucket_margin = bucket_margin
+        self.packed_output = packed_output
         # Keep an f32 copy of the pieces used for style preparation (done once,
         # accuracy matters more than speed there).
         self._vt_params_f32 = vt_params
@@ -114,7 +138,8 @@ class ToonifyPipeline:
         if mesh is not None:
             from vtoonify_tpu.parallel.mesh import shard_params
 
-            self.vt_params = shard_params(self.vt_params, mesh)
+            use_tp = "tp" in mesh.shape and mesh.shape["tp"] > 1
+            self.vt_params = shard_params(self.vt_params, mesh, tp=use_tp)
             self.parsing_params = shard_params(self.parsing_params, mesh)
         self.psp_params = psp_params
         self.psp_cfg = psp_cfg or PSPEncoderConfig()
@@ -126,13 +151,23 @@ class ToonifyPipeline:
             )
 
         self._frame_fn = jax.jit(
-            functools.partial(frame_graph, dtype=self.dtype),
+            functools.partial(frame_graph, dtype=self.dtype,
+                              packed_out=packed_output),
             static_argnums=(1,),
         )
         self._frame_fn_parsing = jax.jit(
-            functools.partial(frame_graph_with_parsing, dtype=self.dtype),
+            functools.partial(frame_graph_with_parsing, dtype=self.dtype,
+                              packed_out=packed_output),
             static_argnums=(1,),
         )
+
+    @staticmethod
+    def unpack_frame(packed_u8: np.ndarray, bgr: bool = False) -> np.ndarray:
+        """Host-side finish for packed_output: (2H, 2W, 12) uint8 phase-major
+        → (4H, 4W, 3) RGB (or BGR for encoders), one native pass."""
+        from vtoonify_tpu import native
+
+        return native.depth_to_space2_u8(packed_u8, bgr=bgr)
 
     # -- style preparation ---------------------------------------------------
 
@@ -168,11 +203,19 @@ class ToonifyPipeline:
         return shard_array_batch(jnp.asarray(frames), self.mesh)
 
     def process_batch(self, frames_u8: np.ndarray, s_w, d_s: float):
-        """(B, H, W, 3) uint8 → (B, 4H, 4W, 3) uint8 device array (async)."""
+        """(B, H, W, 3) uint8 → (B, 4H, 4W, 3) uint8 device array (async);
+        with packed_output, (B, 2H, 2W, 12) phase-major — finish with
+        `unpack_frame` host-side."""
         frames_u8 = np.asarray(frames_u8)
         pad_h = pad_w = 0
+        mg = self.bucket_margin if self.size_bucket else 0
         if self.size_bucket:
             m = self.size_bucket
+            if mg:
+                frames_u8 = np.pad(
+                    frames_u8, ((0, 0), (mg, mg), (mg, mg), (0, 0)),
+                    mode="reflect",
+                )
             h, w = frames_u8.shape[1:3]
             pad_h, pad_w = (-h) % m, (-w) % m
             if pad_h or pad_w:
@@ -184,10 +227,11 @@ class ToonifyPipeline:
             self.vt_params, self.vt_cfg, self.parsing_params,
             self._place(frames_u8), s_w, jnp.asarray(d_s, jnp.float32),
         )
-        if pad_h or pad_w:
-            oh = out.shape[1] - 4 * pad_h
-            ow = out.shape[2] - 4 * pad_w
-            out = out[:, :oh, :ow]
+        if pad_h or pad_w or mg:
+            s = 2 if self.packed_output else 4  # packed rows cover 2 pixels
+            oh = out.shape[1] - s * (pad_h + mg)
+            ow = out.shape[2] - s * (pad_w + mg)
+            out = out[:, s * mg:oh, s * mg:ow]
         return out
 
     def process_batch_with_parsing(self, frames_u8: np.ndarray, x_p, s_w,
@@ -198,4 +242,7 @@ class ToonifyPipeline:
         )
 
     def process_image(self, frame_u8: np.ndarray, s_w, d_s: float) -> np.ndarray:
-        return np.asarray(self.process_batch(frame_u8[None], s_w, d_s)[0])
+        out = np.asarray(self.process_batch(frame_u8[None], s_w, d_s)[0])
+        if self.packed_output:
+            out = self.unpack_frame(out)
+        return out
