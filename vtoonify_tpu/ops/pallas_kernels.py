@@ -549,10 +549,20 @@ def _d2s2_kernel(x_ref, o_ref, *, w, c):
     o_ref[0] = jnp.stack([x0, x1], axis=1).reshape(2 * th, w * 2 * c)
 
 
-def depth_to_space2_pallas(yp, rows: int = 8, interpret: bool = False):
+def depth_to_space2_pallas(yp, rows: int = 8, interpret: bool = True):
     """(B, H, W, 4C) phase-major packed → (B, 2H, 2W, C), as depth_to_space2
     (nn/layers.py) — strided-lane/sublane shuffles on a folded minor dim
-    instead of XLA's small-minor relayout copy. Requires H % rows == 0."""
+    instead of XLA's small-minor relayout copy. Requires H % rows == 0.
+
+    Interpret-only reference (see STATUS above): Mosaic rejects the lane
+    de-interleave on hardware, so interpret defaults to True and compiled
+    mode is refused to keep the broken path uncallable by accident."""
+    if not interpret:
+        raise NotImplementedError(
+            "depth_to_space2_pallas is an interpret-mode reference only: "
+            "Mosaic rejects the in-kernel lane de-interleave on TPU "
+            "(unsupported shape cast, v5e 2026-08-18). Use "
+            "nn.layers.depth_to_space2 (XLA) in production.")
     b, h, w, c4 = yp.shape
     c = c4 // 4
     assert h % rows == 0
