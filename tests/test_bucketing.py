@@ -45,3 +45,31 @@ def test_bucketed_vs_exact_outputs():
     assert d.max() <= 12
     assert d.mean() < 0.5
     assert (d > 1).mean() < 0.05
+
+
+@pytest.mark.slow
+def test_bucket_margin_paranoid_mode():
+    """bucket_margin pads past the halo and crops it: the whole kept frame
+    then sits at the global-stat floor (VERDICT r2 #7 optional mode; the
+    production-scale halo measurement is in docs/PERF.md)."""
+    cfg = VToonifyConfig(in_size=32, out_size=128, channel_multiplier=1,
+                         num_res_layers=2, backbone="dualstylegan")
+    k1, k2 = jax.random.split(jax.random.PRNGKey(1))
+    vt = init_vtoonify(k1, cfg)
+    bn = init_bisenet(k2)
+    rng = np.random.RandomState(6)
+    frames = rng.randint(0, 256, (1, 88, 72, 3), np.uint8)
+    s_w = jnp.asarray(rng.randn(1, cfg.n_latent, 512).astype(np.float32) * 0.3)
+
+    exact = ToonifyPipeline(vt, cfg, bn, dtype=jnp.float32)
+    margin = ToonifyPipeline(vt, cfg, bn, dtype=jnp.float32, size_bucket=32,
+                             bucket_margin=16)
+
+    a = np.asarray(exact.process_batch(frames, s_w, 0.5)).astype(np.int32)
+    b = np.asarray(margin.process_batch(frames, s_w, 0.5)).astype(np.int32)
+    assert a.shape == b.shape == (1, 352, 288, 3)
+    d = np.abs(a - b)
+    # the 16px input margin (64 output px) ejects the whole halo; what's left
+    # is the global-statistics floor
+    assert d.max() <= 2
+    assert (d > 1).mean() < 1e-3
