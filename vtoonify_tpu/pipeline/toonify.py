@@ -119,10 +119,12 @@ class ToonifyPipeline:
         # do this automatically, fused with the BGR conversion)
         bucket_margin: int = 0,  # paranoid bucketing: reflect-pad this many
         # extra pixels on ALL sides before bucket rounding and crop them from
-        # the output — pushes the padding halo outside the kept region. The
+        # the output — ejects the padding halo from the kept region. The
         # production-scale measurement (docs/PERF.md) shows the halo decays
-        # within 32px of the padded edge, so bucket_margin=32 makes bucketed
-        # outputs match exact compilation to the ≤2-LSB global-stat floor
+        # within 32px of the padded edge, so bucket_margin=32 leaves bucketed
+        # outputs at the ≤2-LSB global-stat floor for production-size crops
+        # (for tiny crops the margin itself inflates the padded fraction and
+        # with it the uniform global-stat shift — see tests/test_bucketing.py)
     ):
         self.vt_cfg = vt_cfg
         self.dtype = dtype
