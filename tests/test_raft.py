@@ -44,6 +44,51 @@ def test_raft_parity():
     )
 
 
+def test_lookup_corr_alt_matches_allpairs():
+    """The memory-efficient on-the-fly lookup (reference alt_cuda_corr
+    equivalent) is exact vs the materialized all-pairs volume — same window
+    channel ordering, zero-padding and degenerate-axis semantics, to float
+    rounding (the pool/dot order differs)."""
+    from vtoonify_tpu.models.raft import (
+        build_corr_pyramid, build_fmap_pyramid, lookup_corr, lookup_corr_alt,
+    )
+
+    rng = np.random.RandomState(7)
+    b, h, w, c = 2, 16, 24, 32
+    f1 = jnp.asarray(rng.randn(b, h, w, c).astype(np.float32))
+    f2 = jnp.asarray(rng.randn(b, h, w, c).astype(np.float32))
+    # coords spread past the borders to exercise the zeros padding
+    coords = jnp.asarray(
+        rng.uniform(-6, 6, (b, h, w, 2)).astype(np.float32)
+        + np.stack(np.meshgrid(np.arange(w), np.arange(h)),
+                   axis=-1).astype(np.float32)
+    )
+    want = lookup_corr(build_corr_pyramid(f1, f2, 4), coords, radius=4)
+    for chunk in (9, 81, 5):  # 5 → falls back to a divisor of 81
+        got = lookup_corr_alt(f1, build_fmap_pyramid(f2, 4), coords,
+                              radius=4, offset_chunk=chunk)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=2e-4, rtol=1e-4)
+
+
+def test_raft_apply_alt_corr_matches():
+    """Full-model equality: corr_impl='alt' produces the same flow as the
+    default all-pairs path (float-rounding tolerance through 4 GRU steps)."""
+    import jax
+
+    params = init_raft(jax.random.PRNGKey(5))
+    rng = np.random.RandomState(6)
+    im1 = jnp.asarray(rng.randint(0, 256, (1, 64, 96, 3)).astype(np.float32))
+    im2 = jnp.asarray(rng.randint(0, 256, (1, 64, 96, 3)).astype(np.float32))
+    lr_a, up_a = raft_apply(params, im1, im2, RAFTConfig(), iters=4)
+    lr_b, up_b = raft_apply(params, im1, im2, RAFTConfig(corr_impl="alt"),
+                            iters=4)
+    np.testing.assert_allclose(np.asarray(lr_b), np.asarray(lr_a),
+                               atol=1e-3, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(up_b), np.asarray(up_a),
+                               atol=1e-2, rtol=1e-3)
+
+
 def test_raft_init_smoke():
     import jax
 

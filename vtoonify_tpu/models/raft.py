@@ -6,11 +6,17 @@ SepConvGRU iterative updates, convex-upsampling mask. Used by the
 parsing-map smoother (reference smooth_parsing_map.py). Inputs are uint8-range
 [0,255] images (raft.py:89-90).
 
-TPU-first notes: the correlation volume is ONE batched matmul (MXU) +
-avg-pool pyramid + bilinear gathers — the reference's optional alt_cuda_corr
-kernel (memory-saving lookup) is unnecessary at the 1/8-resolution sizes this
-framework uses (SURVEY.md §2.1). The update loop is a statically unrolled
-`iters`-step recurrence (no data-dependent control flow).
+TPU-first notes: the default correlation volume is ONE batched matmul (MXU)
++ avg-pool pyramid + bilinear gathers — sufficient at the 1/8-resolution
+sizes this framework uses (SURVEY.md §2.1). The reference's optional
+alt_cuda_corr kernel (model/raft/alt_cuda_corr/correlation_kernel.cu,
+memory-saving on-the-fly lookup) has a TPU-native equivalent here:
+`RAFTConfig(corr_impl="alt")` skips the O((H·W)²) volume entirely and
+computes each lookup window directly from a feature pyramid of image2 —
+exact by linearity (avg-pool and bilinear sampling commute with the
+feature dot product), chunked over window offsets to bound transients.
+The update loop is a statically unrolled `iters`-step recurrence (no
+data-dependent control flow).
 """
 
 from __future__ import annotations
@@ -30,6 +36,10 @@ class RAFTConfig:
     context_dim: int = 128
     corr_levels: int = 4
     corr_radius: int = 4
+    # "allpairs": materialized all-pairs volume (reference CorrBlock).
+    # "alt": memory-efficient on-the-fly lookup (reference alt_cuda_corr);
+    # identical outputs, O(H·W·C) memory instead of O((H·W)²).
+    corr_impl: str = "allpairs"
 
 
 # --- encoders (extractor.py BasicEncoder) -----------------------------------
@@ -148,36 +158,99 @@ def build_corr_pyramid(fmap1, fmap2, num_levels=4):
     return pyramid
 
 
+def _window_delta(radius):
+    """(2r+1, 2r+1, 2) lookup-window offsets. NOTE: the reference builds
+    delta = stack(meshgrid(dy, dx)) and adds it to (x, y)-ordered coords
+    (corr.py:36-41) — i.e. the x offset varies along the FIRST window axis.
+    Mirrored exactly for checkpoint parity."""
+    d = jnp.arange(-radius, radius + 1, dtype=jnp.float32)
+    dyg, dxg = jnp.meshgrid(d, d, indexing="ij")
+    return jnp.stack([dyg, dxg], axis=-1)
+
+
+def _norm_grid(coords_lvl, hl, wl):
+    """bilinear_sampler: pixel coords → [-1,1] with align_corners=True.
+    A degenerate 1-pixel axis (tiny inputs) collapses to coordinate 0
+    (the reference divides by zero there, corr.py utils bilinear_sampler)."""
+    gx = (2 * coords_lvl[..., 0] / (wl - 1) - 1) if wl > 1 else (
+        jnp.zeros_like(coords_lvl[..., 0])
+    )
+    gy = (2 * coords_lvl[..., 1] / (hl - 1) - 1) if hl > 1 else (
+        jnp.zeros_like(coords_lvl[..., 1])
+    )
+    return jnp.stack([gx, gy], axis=-1)
+
+
 def lookup_corr(pyramid, coords, radius=4):
     """coords: (B, H, W, 2) pixel positions in image2. Returns
     (B, H, W, levels*(2r+1)^2) — reference corr.py:29-50."""
     b, h, w, _ = coords.shape
-    r = radius
-    d = jnp.arange(-r, r + 1, dtype=jnp.float32)
-    # NOTE: the reference builds delta = stack(meshgrid(dy, dx)) and adds it
-    # to (x, y)-ordered coords (corr.py:36-41) — i.e. the x offset varies
-    # along the FIRST window axis. Mirrored exactly for checkpoint parity.
-    dyg, dxg = jnp.meshgrid(d, d, indexing="ij")
-    delta = jnp.stack([dyg, dxg], axis=-1)
+    delta = _window_delta(radius)
 
     out = []
     for i, corr in enumerate(pyramid):
         centroid = coords.reshape(b * h * w, 1, 1, 2) / (2 ** i)
         coords_lvl = centroid + delta[None]
         hl, wl = corr.shape[1], corr.shape[2]
-        # bilinear_sampler: pixel coords → [-1,1] with align_corners=True.
-        # A degenerate 1-pixel axis (tiny inputs) collapses to coordinate 0
-        # (the reference divides by zero there, corr.py utils bilinear_sampler).
-        gx = (2 * coords_lvl[..., 0] / (wl - 1) - 1) if wl > 1 else (
-            jnp.zeros_like(coords_lvl[..., 0])
-        )
-        gy = (2 * coords_lvl[..., 1] / (hl - 1) - 1) if hl > 1 else (
-            jnp.zeros_like(coords_lvl[..., 1])
-        )
-        grid = jnp.stack([gx, gy], axis=-1)
+        grid = _norm_grid(coords_lvl, hl, wl)
         sampled = grid_sample(corr, grid, align_corners=True,
                               padding_mode="zeros")
         out.append(sampled.reshape(b, h, w, -1))
+    return jnp.concatenate(out, axis=-1)
+
+
+def build_fmap_pyramid(fmap, num_levels=4):
+    """Avg-pool pyramid of the (B, H, W, C) image-2 feature map — the "alt"
+    lookup's state. Memory O(H·W·C·4/3) vs the all-pairs volume's O((H·W)²);
+    at 1/8-res of a 1024² frame that is 22 MB vs 1.4 GB per batch item."""
+    pyr = [fmap]
+    for _ in range(num_levels - 1):
+        pyr.append(avg_pool(pyr[-1], 2))
+    return pyr
+
+
+def lookup_corr_alt(fmap1, fmap2_pyramid, coords, radius=4, offset_chunk=9):
+    """Memory-efficient on-the-fly correlation lookup — TPU-native equivalent
+    of the reference's optional alt_cuda_corr kernel
+    (model/raft/alt_cuda_corr/correlation_kernel.cu, corr.py:5-9 fallback).
+
+    Exact w.r.t. `lookup_corr(build_corr_pyramid(f1, f2), ...)` by linearity:
+    corr(n, m) = f1ₙ·f2ₘ/√C is linear in f2ₘ, so avg-pooling the volume over
+    (H2, W2) equals correlating against the avg-pooled f2, and bilinearly
+    sampling the volume equals correlating against the bilinearly sampled f2.
+    Per level, the (2r+1)² window offsets are processed in chunks: one
+    grid_sample of the level's feature map at `coords/2ⁱ + delta` followed by
+    an MXU batched dot with fmap1 — the transient is (B, H, W, chunk, C)
+    instead of a resident (B·H·W, H, W) volume.
+
+    fmap1: (B, H, W, C); fmap2_pyramid: from `build_fmap_pyramid`.
+    Returns (B, H, W, levels*(2r+1)^2), channel order identical to
+    `lookup_corr` (window row-major, x offset on the first window axis).
+    """
+    b, h, w, c = fmap1.shape
+    n_off = (2 * radius + 1) ** 2
+    delta = _window_delta(radius).reshape(n_off, 2)
+    offset_chunk = max(1, min(offset_chunk, n_off))
+    while n_off % offset_chunk:
+        offset_chunk -= 1
+    f1 = fmap1.astype(jnp.float32)
+    inv_sqrt_c = 1.0 / jnp.sqrt(jnp.asarray(c, jnp.float32))
+
+    out = []
+    for i, f2l in enumerate(fmap2_pyramid):
+        hl, wl = f2l.shape[1], f2l.shape[2]
+        centroid = coords / (2 ** i)  # (B, H, W, 2)
+        lvl = []
+        for s in range(0, n_off, offset_chunk):
+            dk = delta[s:s + offset_chunk]  # (k, 2)
+            pos = centroid[:, :, :, None, :] + dk[None, None, None]
+            grid = _norm_grid(pos, hl, wl).reshape(b, h, w * dk.shape[0], 2)
+            smp = grid_sample(f2l.astype(jnp.float32), grid,
+                              align_corners=True, padding_mode="zeros")
+            smp = smp.reshape(b, h, w, dk.shape[0], c)
+            lvl.append(jnp.einsum("bhwc,bhwkc->bhwk", f1, smp,
+                                  preferred_element_type=jnp.float32))
+        out.append(jnp.concatenate(lvl, axis=-1) * inv_sqrt_c)
     return jnp.concatenate(out, axis=-1)
 
 
@@ -336,7 +409,9 @@ def raft_apply(params, image1, image2, cfg: RAFTConfig = RAFTConfig(),
 
     fmap1 = basic_encoder_apply(params["fnet"], x1, "instance")
     fmap2 = basic_encoder_apply(params["fnet"], x2, "instance")
-    pyramid = build_corr_pyramid(fmap1, fmap2, cfg.corr_levels)
+    alt = cfg.corr_impl == "alt"
+    pyramid = (build_fmap_pyramid(fmap2, cfg.corr_levels) if alt
+               else build_corr_pyramid(fmap1, fmap2, cfg.corr_levels))
 
     if train_bn and not test_mode:
         cnet, new_cnet = basic_encoder_apply(params["cnet"], x1, "batch",
@@ -352,7 +427,8 @@ def raft_apply(params, image1, image2, cfg: RAFTConfig = RAFTConfig(),
 
     flows_up = []
     for _ in range(iters):
-        corr = lookup_corr(pyramid, coords1, cfg.corr_radius)
+        corr = (lookup_corr_alt(fmap1, pyramid, coords1, cfg.corr_radius)
+                if alt else lookup_corr(pyramid, coords1, cfg.corr_radius))
         flow = coords1 - coords0
         net, up_mask, delta = update_block_apply(params["update"], net, inp,
                                                  corr, flow)

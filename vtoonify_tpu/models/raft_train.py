@@ -627,6 +627,10 @@ def main(argv=None):
                    help="directory holding Sintel/ KITTI/ FlyingChairs_release/"
                         " FlyingThings3D/ HD1k/ trees")
     p.add_argument("--val_freq", type=int, default=5000)
+    p.add_argument("--alt_corr", action="store_true",
+                   help="memory-efficient on-the-fly correlation (reference "
+                        "alt_cuda_corr equivalent); exact, trades compute "
+                        "for the O((H*W)^2) volume's HBM")
     p.add_argument("--seed", type=int, default=1234)
     args = p.parse_args(argv)
 
@@ -638,7 +642,7 @@ def main(argv=None):
     from vtoonify_tpu.models.raft_data import validate_kitti, validate_sintel
     from vtoonify_tpu.utils import checkpoint as ckpt_util
 
-    cfg = RAFTConfig()
+    cfg = RAFTConfig(corr_impl="alt" if args.alt_corr else "allpairs")
     freeze_bn = (args.stage != "chairs" if args.freeze_bn is None
                  else args.freeze_bn)
     tcfg = RaftTrainConfig(lr=args.lr, num_steps=args.num_steps,

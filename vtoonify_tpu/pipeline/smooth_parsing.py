@@ -62,7 +62,8 @@ def _unpad(x, ph_pw):
 
 
 def fuse_window(raft_params, frames_win, parses_win, center: int,
-                iters: int = 20, sigma_s: float = 0.2):
+                iters: int = 20, sigma_s: float = 0.2,
+                alt_corr: bool = False):
     """Fuse one temporal window (K frames) onto its center frame.
 
     frames_win: (K, H, W, 3) in [-1, 1] (2×-upsampled); parses_win: (K, H, W, 19).
@@ -76,7 +77,8 @@ def fuse_window(raft_params, frames_win, parses_win, center: int,
 
     _, flow_up = raft_apply(
         raft_params, (image1p + 1) * 255.0 / 2, (image2p + 1) * 255.0 / 2,
-        RAFTConfig(), iters=iters, test_mode=True,
+        RAFTConfig(corr_impl="alt" if alt_corr else "allpairs"),
+        iters=iters, test_mode=True,
     )
     flow_up = _unpad(flow_up, pads)
 
@@ -105,10 +107,15 @@ def fuse_window(raft_params, frames_win, parses_win, center: int,
 
 def smooth_video_parsing_maps(raft_params, parsing_params, frames_u8,
                               window: int = 5, iters: int = 20,
-                              progress=None):
+                              progress=None, alt_corr: bool = False):
     """frames_u8: (N, H, W, 3) uint8 video frames → (N, H, W, 19) smoothed
     parsing maps (frames are internally 2×-upsampled, fused at 2×, then
-    downsampled back — reference smooth_parsing_map.py:127-166)."""
+    downsampled back — reference smooth_parsing_map.py:127-166).
+
+    alt_corr: use RAFT's memory-efficient on-the-fly correlation — the
+    2×-upsampled frames make the all-pairs volume the smoother's peak HBM
+    consumer at HD inputs (a 2160×3840 fused frame is 130k 1/8-res pixels
+    → a 67 GB/pair volume; the alt path needs ~130 MB)."""
     frames = jnp.asarray(frames_u8, jnp.float32) / 127.5 - 1.0
     n, h, w, _ = frames.shape
     frames2x = resize_bilinear(frames, (2 * h, 2 * w), align_corners=False)
@@ -127,7 +134,8 @@ def smooth_video_parsing_maps(raft_params, parsing_params, frames_u8,
     frames_ext = frames2x[jnp.asarray(idx)]
     parses_ext = parses[jnp.asarray(idx)]
 
-    fuse = jax.jit(functools.partial(fuse_window, center=window, iters=iters))
+    fuse = jax.jit(functools.partial(fuse_window, center=window, iters=iters,
+                                     alt_corr=alt_corr))
     out = []
     rng = range(n)
     if progress is not None:
@@ -154,6 +162,9 @@ def main(argv=None):
                    default="./checkpoint/raft-things.pth")
     p.add_argument("--video_path", type=str, required=True)
     p.add_argument("--output_path", type=str, default="./output/")
+    p.add_argument("--alt_corr", action="store_true",
+                   help="memory-efficient on-the-fly RAFT correlation "
+                        "(for HD inputs whose all-pairs volume exceeds HBM)")
     args = p.parse_args(argv)
 
     from vtoonify_tpu.convert.torch_import import convert_raft
@@ -171,7 +182,8 @@ def main(argv=None):
 
     frames = np.stack([f for _, f in iterate_video_frames(args.video_path)])
     maps = smooth_video_parsing_maps(raft_params, parsing_params, frames,
-                                     window=args.window_size)
+                                     window=args.window_size,
+                                     alt_corr=args.alt_corr)
     basename = os.path.basename(args.video_path).split(".")[0]
     np.save(os.path.join(args.output_path, basename + "_parsingmap.npy"), maps)
     print("Done!")
