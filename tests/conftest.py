@@ -62,6 +62,8 @@ _HEAVY_TESTS = {
     "test_validate_drivers_run",
     "test_vgg19_loss_shapes",
     "test_video_engine",
+    "test_vtoonify_apply_fold_matches_tiled",
+    "test_raft_apply_alt_corr_matches",
 }
 
 

@@ -209,7 +209,17 @@ def modulated_conv2d(p, x, style, demodulate=True, upsample=False,
                      downsample=False, blur_kernel: Sequence[float] = BLUR_KERNEL,
                      eps: float = 1e-8, fuse_upsample: bool = True):
     """reference model.py:170-306, scale-activations formulation (see module
-    docstring for the equivalence argument)."""
+    docstring for the equivalence argument).
+
+    Shared-style weight folding: when the style batch is 1 while x carries a
+    real batch (the video-inference case — one style code per video), the
+    per-channel modulation s and demodulation d fold into the kernel itself
+    (W′ = scale·W ⊙ s_in ⊙ d_out) instead of scaling activations. Exact same
+    algebra on a kernel-sized tensor; on TPU this removes the elementwise
+    producers/consumers XLA would otherwise fuse into the conv — which
+    re-execute per window tap and cost ~35% of the conv's runtime on the
+    packed high-res stages (measured: bare conv 85% of bf16 peak vs 62%
+    with fused modulation context at (3,3,128,128)@512²)."""
     w = p["weight"]
     kh, kw, cin, cout = w.shape
     scale = 1.0 / math.sqrt(cin * kh * kw)
@@ -223,10 +233,17 @@ def modulated_conv2d(p, x, style, demodulate=True, upsample=False,
         )  # (cin, cout), f32
         d = lax.rsqrt(
             jnp.square(s.astype(jnp.float32)) @ w2 + eps
-        ).astype(x.dtype)  # (B, cout)
+        )  # (B, cout), f32
 
-    x = x * s[:, None, None, :].astype(x.dtype)
-    wsc = (w * scale).astype(x.dtype)
+    fold = s.shape[0] == 1 and x.shape[0] != 1
+    if fold:
+        wf = (w * scale) * s[0].astype(jnp.float32)[None, None, :, None]
+        if demodulate:
+            wf = wf * d[0][None, None, None, :]
+        wsc = wf.astype(x.dtype)
+    else:
+        x = x * s[:, None, None, :].astype(x.dtype)
+        wsc = (w * scale).astype(x.dtype)
 
     if upsample and fuse_upsample and kh == 3 and len(blur_kernel) == 4:
         out = _fused_upsample_conv(x, wsc, blur_kernel)
@@ -247,8 +264,8 @@ def modulated_conv2d(p, x, style, demodulate=True, upsample=False,
     else:
         out = conv2d(x, wsc, padding=kh // 2)
 
-    if demodulate:
-        out = out * d[:, None, None, :]
+    if demodulate and not fold:
+        out = out * d.astype(out.dtype)[:, None, None, :]
     return out
 
 
@@ -550,19 +567,32 @@ def _mod_sd(p, style, eps=1e-8):
     return (w * scale), s, d
 
 
+def _fold_sd(wsc, s, d):
+    """Fold shared-batch modulation/demodulation into the (kh,kw,cin,cout)
+    kernel (see modulated_conv2d's shared-style note)."""
+    wf = wsc * s[0].astype(jnp.float32)[None, None, :, None]
+    if d is not None:
+        wf = wf * d[0][None, None, None, :]
+    return wf
+
+
 def styled_conv_up_packed(p, x, style, noise=None, blur_kernel=BLUR_KERNEL):
     """Upsampling styled conv; input unpacked (B,H,W,Cin), output PACKED
     (B,H,W,4Cout) — the polyphase conv without its depth-to-space. `noise`
     is the unpacked (B, 2H, 2W, 1) NoiseInjection image (or None)."""
     wsc, s, d = _mod_sd(p["conv"], style)
+    fold = s.shape[0] == 1 and x.shape[0] != 1
+    if fold:
+        wsc = _fold_sd(wsc, s, d)
     c6 = _compose_upsample_kernel(wsc.astype(x.dtype), blur_kernel)
     phases = [c6[1::2, 1::2], c6[1::2, 0::2], c6[0::2, 1::2], c6[0::2, 0::2]]
     k_cat = jnp.concatenate(phases, axis=-1)
-    y = conv2d(x * s[:, None, None, :].astype(x.dtype),
-               k_cat.astype(x.dtype), padding=1)
+    xin = x if fold else x * s[:, None, None, :].astype(x.dtype)
+    y = conv2d(xin, k_cat.astype(x.dtype), padding=1)
     cout = wsc.shape[-1]
-    dd = jnp.tile(d.astype(x.dtype), (1, 4))[:, None, None, :]
-    y = y * dd
+    if not fold:
+        dd = jnp.tile(d.astype(x.dtype), (1, 4))[:, None, None, :]
+        y = y * dd
     y = _add_noise_packed(y, p["noise"], noise, cout)
     bias = jnp.tile(p["act_bias"], 4)
     return fused_leaky_relu(y, bias)
@@ -572,11 +602,16 @@ def styled_conv_packed(p, xp, style, noise=None):
     """Non-upsampling styled conv entirely in packed layout. `noise` is the
     unpacked (B, 2H, 2W, 1) NoiseInjection image (or None)."""
     wsc, s, d = _mod_sd(p["conv"], style)
-    kp = _packed_kernel_3x3(wsc.astype(xp.dtype))
-    sp = jnp.tile(s.astype(xp.dtype), (1, 4))[:, None, None, :]
-    y = conv2d(xp * sp, kp, padding=1)
-    dd = jnp.tile(d.astype(xp.dtype), (1, 4))[:, None, None, :]
-    y = y * dd
+    fold = s.shape[0] == 1 and xp.shape[0] != 1
+    if fold:
+        kp = _packed_kernel_3x3(_fold_sd(wsc, s, d).astype(xp.dtype))
+        y = conv2d(xp, kp, padding=1)
+    else:
+        kp = _packed_kernel_3x3(wsc.astype(xp.dtype))
+        sp = jnp.tile(s.astype(xp.dtype), (1, 4))[:, None, None, :]
+        y = conv2d(xp * sp, kp, padding=1)
+        dd = jnp.tile(d.astype(xp.dtype), (1, 4))[:, None, None, :]
+        y = y * dd
     y = _add_noise_packed(y, p["noise"], noise, wsc.shape[-1])
     bias = jnp.tile(p["act_bias"], 4)
     return fused_leaky_relu(y, bias)
@@ -589,12 +624,19 @@ def _to_rgb_packed_conv(p, xp, style):
     cin = w.shape[2]
     scale = 1.0 / math.sqrt(cin)
     s = equal_linear(p["conv"]["modulation"], style)
-    wsc = (w[0, 0] * scale).astype(xp.dtype)  # (Cin, 3)
+    fold = s.shape[0] == 1 and xp.shape[0] != 1
+    wsc = w[0, 0] * scale  # (Cin, 3), f32
+    if fold:
+        wsc = wsc * s[0].astype(jnp.float32)[:, None]
+    wsc = wsc.astype(xp.dtype)
     kp = jnp.zeros((1, 1, 4 * cin, 12), xp.dtype)
     for ph in range(4):
         kp = kp.at[0, 0, ph * cin:(ph + 1) * cin, ph * 3:(ph + 1) * 3].set(wsc)
-    sp = jnp.tile(s.astype(xp.dtype), (1, 4))[:, None, None, :]
-    y = conv2d(xp * sp, kp)
+    if fold:
+        y = conv2d(xp, kp)
+    else:
+        sp = jnp.tile(s.astype(xp.dtype), (1, 4))[:, None, None, :]
+        y = conv2d(xp * sp, kp)
     return y + jnp.tile(p["bias"].reshape(3), 4).astype(y.dtype)
 
 

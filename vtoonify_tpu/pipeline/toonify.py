@@ -61,7 +61,15 @@ def frame_graph(vt_params, vt_cfg: VToonifyConfig, parsing_params, frames_u8,
     inputs = jnp.concatenate(
         [x, x_p.astype(dtype) * jnp.asarray(PARSING_WEIGHT, dtype)], axis=-1
     )
-    s_w_b = jnp.broadcast_to(s_w.astype(dtype), (b,) + s_w.shape[-2:])
+    # a batch-1 style (one style code per video — the standard case) is NOT
+    # broadcast to the frame batch: the modulated convs fold
+    # modulation/demodulation into their kernels (nn/layers.py) instead of
+    # per-window activation scaling — identical algebra, measurably less
+    # fused elementwise work in the high-res tail. A (B, L, 512) style still
+    # styles each frame individually.
+    s_w_b = s_w.astype(dtype)
+    if s_w_b.ndim == 2:
+        s_w_b = s_w_b[None]
     y = vtoonify_apply(vt_params, vt_cfg, inputs, s_w_b, d_s=d_s,
                        packed_out=packed_out)
     y = jnp.clip(y, -1.0, 1.0)
@@ -78,7 +86,9 @@ def frame_graph_with_parsing(vt_params, vt_cfg: VToonifyConfig, frames_u8,
     inputs = jnp.concatenate(
         [x, x_p.astype(dtype) * jnp.asarray(PARSING_WEIGHT, dtype)], axis=-1
     )
-    s_w_b = jnp.broadcast_to(s_w.astype(dtype), (b,) + s_w.shape[-2:])
+    s_w_b = s_w.astype(dtype)
+    if s_w_b.ndim == 2:
+        s_w_b = s_w_b[None]
     y = vtoonify_apply(vt_params, vt_cfg, inputs, s_w_b, d_s=d_s,
                        packed_out=packed_out)
     y = jnp.clip(y, -1.0, 1.0)
