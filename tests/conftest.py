@@ -24,7 +24,8 @@ import pytest  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
 
-# Fast dev-loop tier (`pytest -m quick`, ~2 min): every test EXCEPT the
+# Fast dev-loop tier (`pytest -m quick`, ~7 min on a loaded 1-core CI
+# host): every test EXCEPT the
 # compile-heavy ones below (each >10 s under --durations=0; the full suite is
 # >1 h). New tests are quick by default — add them here when they grow past
 # ~10 s. e2e-marked tests are never quick.
@@ -64,6 +65,7 @@ _HEAVY_TESTS = {
     "test_video_engine",
     "test_vtoonify_apply_fold_matches_tiled",
     "test_raft_apply_alt_corr_matches",
+    "test_sp_single_frame_inference",
 }
 
 

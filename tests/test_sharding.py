@@ -280,3 +280,39 @@ def test_dp_tp_inference_pipeline_e2e():
     ref = pipe_ref.process_batch(frames, s_w, 0.5)
     assert out.shape == (4, 128, 128, 3)
     np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
+def test_sp_single_frame_inference():
+    """SP latency scale-out: ONE frame, height axis sharded over 8 devices
+    through the full frame graph (BiSeNet + VToonify, packed stages) —
+    GSPMD halo exchanges + all-reduces, output bit-equal to single-device
+    and still height-sharded (never gathered)."""
+    from vtoonify_tpu.parallel.mesh import (
+        make_spatial_mesh, replicated, shard_array_spatial,
+    )
+    from vtoonify_tpu.pipeline.toonify import frame_graph
+
+    key = jax.random.PRNGKey(70)
+    ks = jax.random.split(key, 2)
+    vt_params = init_vtoonify(ks[0], TINY)
+    parsing_params = init_bisenet(ks[1])
+
+    frames = np.random.RandomState(3).randint(
+        0, 256, (1, 64, 64, 3), dtype=np.uint8
+    )
+    s_w = jnp.zeros((1, TINY.n_latent, 512))
+
+    fn = jax.jit(frame_graph, static_argnums=(1,), static_argnames=("dtype",))
+    ref = fn(vt_params, TINY, parsing_params, jnp.asarray(frames), s_w,
+             jnp.asarray(0.5), dtype=jnp.float32)
+
+    mesh = make_spatial_mesh(8)
+    rep = lambda t: jax.tree.map(  # noqa: E731
+        lambda a: jax.device_put(a, replicated(mesh)), t)
+    out = fn(rep(vt_params), TINY, rep(parsing_params),
+             shard_array_spatial(jnp.asarray(frames), mesh), s_w,
+             jnp.asarray(0.5), dtype=jnp.float32)
+    out.block_until_ready()
+    assert out.shape == (1, 256, 256, 3)
+    assert len(out.sharding.device_set) == 8
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))

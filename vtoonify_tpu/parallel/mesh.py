@@ -71,3 +71,33 @@ def shard_params(params, mesh: Mesh, tp: bool = False, min_channels: int = 256):
 
 def shard_array_batch(x, mesh: Mesh):
     return jax.device_put(x, shard_batch(mesh, np.ndim(x)))
+
+
+def make_spatial_mesh(n_devices: Optional[int] = None, devices=None) -> Mesh:
+    """1-D mesh over the 'sp' axis for spatial partitioning."""
+    devices = list(devices if devices is not None else jax.devices())
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    return Mesh(np.array(devices), ("sp",))
+
+
+def shard_spatial(mesh: Mesh, ndim: int = 4) -> NamedSharding:
+    """SP — shard the image-height axis of (B, H, W, C) tensors over 'sp'.
+
+    Latency scale-out for a SINGLE frame (batch can't be split below 1):
+    GSPMD spatially partitions every conv with automatic halo exchanges
+    (collective-permutes over ICI), global reductions (BiSeNet pools,
+    instance norms) become cross-device all-reduces, and the packed-stage
+    space-to-depth reshapes reshard transparently. Verified bit-equal to
+    the unsharded frame graph on an 8-device mesh
+    (tests/test_sharding.py::test_sp_single_frame_inference). The reference
+    has no analogue (its per-GPU unit is a whole frame); this is how one
+    1024px frame uses a whole TPU slice."""
+    assert ndim >= 2
+    spec = [None] * ndim
+    spec[1] = "sp"
+    return NamedSharding(mesh, P(*spec))
+
+
+def shard_array_spatial(x, mesh: Mesh):
+    return jax.device_put(x, shard_spatial(mesh, np.ndim(x)))
