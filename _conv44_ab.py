@@ -46,6 +46,15 @@ def conv_ctx(x):
     return jnp.where(y > 0, y, 0.2 * y) * jnp.bfloat16(2 ** 0.5)
 
 
+def pallas_fold(x):
+    # the folded production form through the slab kernel: conv+bias+lrelu,
+    # one HBM read / one write, double-buffered DMA
+    from vtoonify_tpu.ops.pallas_kernels import modconv3x3_fused_pallas
+    import os
+    rows = int(os.environ.get("AB_ROWS", "8"))
+    return modconv3x3_fused_pallas(x, w, None, None, bias, rows=rows)
+
+
 def taps9(x):
     xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
     acc = jnp.zeros((B, H, W, C), jnp.float32)
@@ -71,7 +80,11 @@ def make(f, reps=4):
 
 
 null = jax.jit(lambda a: jnp.sum(a[0, 0, 0].astype(jnp.float32)))
-fns = {"conv": make(conv), "conv_ctx": make(conv_ctx), "taps9": make(taps9)}
+import os as _os
+_sel = _os.environ.get("AB_VARIANTS", "conv,conv_ctx,taps9,pallas_fold")
+_all = {"conv": conv, "conv_ctx": conv_ctx, "taps9": taps9,
+        "pallas_fold": pallas_fold}
+fns = {k: make(_all[k]) for k in _sel.split(",")}
 for name, (f, _) in fns.items():
     np.asarray(f(x0))
 np.asarray(null(x0))

@@ -184,3 +184,53 @@ def test_depth_to_space2_pallas_exact():
             np.asarray(depth_to_space2_pallas(xb, interpret=True),
                        np.float32),
             np.asarray(depth_to_space2(xb), np.float32))
+
+
+def test_modconv3x3_fused_pallas_matches():
+    """The fused styled-conv slab kernel vs the XLA reference, all three
+    epilogue paths: modulated (s,d,bias), shared-style FOLDED (s=d=None —
+    the frame graph's production case), and raw conv (no activation).
+    Interpret mode; the double-buffered DMA schedule is the same code path
+    hardware runs (ref /root/reference/model/stylegan/model.py:280-310 for
+    the op being fused)."""
+    import jax
+    from jax import lax
+
+    from vtoonify_tpu.ops.pallas_kernels import modconv3x3_fused_pallas
+
+    b, h, w_, c, cout = 2, 16, 24, 8, 16
+    key = jax.random.PRNGKey(3)
+    k1, k2, k3, k4, k5 = jax.random.split(key, 5)
+    x = jax.random.normal(k1, (b, h, w_, c), jnp.float32)
+    w = jax.random.normal(k2, (3, 3, c, cout), jnp.float32) * 0.2
+    s = jax.random.normal(k3, (b, c), jnp.float32) * 0.5 + 1.0
+    d = jax.random.normal(k4, (b, cout), jnp.float32) * 0.1 + 1.0
+    bias = jax.random.normal(k5, (cout,), jnp.float32)
+    dn = lax.conv_dimension_numbers(x.shape, w.shape, ("NHWC", "HWIO", "NHWC"))
+
+    def ref(xin, wk, dv=None, bv=None):
+        y = lax.conv_general_dilated(xin, wk, (1, 1), "SAME",
+                                     dimension_numbers=dn)
+        if dv is not None:
+            y = y * dv[:, None, None, :]
+        if bv is not None:
+            y = fused_leaky_relu(y, bv)
+        return y
+
+    # modulated path
+    got = modconv3x3_fused_pallas(x, w, s, d, bias, rows=8, interpret=True)
+    want = ref(x * s[:, None, None, :], w, d, bias)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+    # folded path (production frame graph): plain conv + bias + lrelu
+    got = modconv3x3_fused_pallas(x, w, None, None, bias, rows=8,
+                                  interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref(x, w, None, bias)),
+                               rtol=2e-5, atol=2e-5)
+
+    # raw conv, no activation
+    got = modconv3x3_fused_pallas(x, w, None, None, None, rows=8,
+                                  interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref(x, w)),
+                               rtol=2e-5, atol=2e-5)

@@ -350,28 +350,37 @@ def test_video_engine_overlap_beats_serialized(tmp_path):
     dev0.close()
     delay = min(max(host_per_batch, 0.02), 0.25)
 
-    dev_s = _FakeDevice(delay)
-    t0 = time.perf_counter()
-    n_serial = _serialized_loop(_FakePipe(dev_s), src,
-                                str(tmp_path / "serial.mp4"), batch)
-    t_serial = time.perf_counter() - t0
-    dev_s.close()
-
-    dev_e = _FakeDevice(delay)
     s_w = np.zeros((1, 18, 512), np.float32)
-    t0 = time.perf_counter()
-    result = toonify_video(
-        _FakePipe(dev_e), src, str(tmp_path / "engine.mp4"), s_w=s_w,
-        scale_image=False, batch_size=batch,
-    )
-    t_engine = time.perf_counter() - t0
-    dev_e.close()
 
-    assert n_serial == n_frames
-    assert result.frames_written == n_frames
-    ratio = t_serial / t_engine
+    def measure():
+        dev_s = _FakeDevice(delay)
+        t0 = time.perf_counter()
+        n_serial = _serialized_loop(_FakePipe(dev_s), src,
+                                    str(tmp_path / "serial.mp4"), batch)
+        t_serial = time.perf_counter() - t0
+        dev_s.close()
+
+        dev_e = _FakeDevice(delay)
+        t0 = time.perf_counter()
+        result = toonify_video(
+            _FakePipe(dev_e), src, str(tmp_path / "engine.mp4"), s_w=s_w,
+            scale_image=False, batch_size=batch,
+        )
+        t_engine = time.perf_counter() - t0
+        dev_e.close()
+
+        assert n_serial == n_frames
+        assert result.frames_written == n_frames
+        return t_serial, t_engine
+
     # ideal is ~2.0 when host and device cost are equal; ≥1.3 proves real
-    # overlap with generous margin for scheduler noise
+    # overlap with generous margin for scheduler noise. One retry: a busy CI
+    # host can stall either loop's threads and fake a low ratio.
+    for attempt in range(2):
+        t_serial, t_engine = measure()
+        ratio = t_serial / t_engine
+        if ratio >= 1.3:
+            break
     assert ratio >= 1.3, (
         f"engine not overlapping: serialized {t_serial:.3f}s vs engine "
         f"{t_engine:.3f}s (ratio {ratio:.2f}, delay {delay * 1e3:.0f} ms)"

@@ -146,50 +146,82 @@ def blur_same_pallas(x, kernel_1d, pad=(1, 1), interpret: bool = False):
 
 
 def _modconv3x3_kernel(s_ref, d_ref, b_ref, w_ref, x_hbm, o_ref, slab, sem,
-                       *, rows, width, wpad, cin, cout, slope, gain, has_act):
+                       *, rows, width, wpad, cin, cout, slope, gain, has_act,
+                       has_mod, has_demod, nrstrips):
     bi = pl.program_id(0)
     ri = pl.program_id(1)
+    step = bi * nrstrips + ri
+    nsteps = pl.num_programs(0) * nrstrips
+    slot = jax.lax.rem(step, 2)
 
-    copy = pltpu.make_async_copy(
-        x_hbm.at[bi, pl.ds(ri * rows, rows + 2)], slab, sem
-    )
-    copy.start()
-    copy.wait()
+    def _issue(b_, r_, slot_):
+        pltpu.make_async_copy(
+            x_hbm.at[b_, pl.ds(r_ * rows, rows + 2)],
+            slab.at[slot_], sem.at[slot_],
+        ).start()
 
-    # dynamic batch-row select via one-hot (Mosaic can't prove sublane
-    # alignment for a direct dynamic index on packed bf16 rows)
-    nb = s_ref.shape[0]
-    sel = (jax.lax.broadcasted_iota(jnp.int32, (nb, 1), 0) == bi)
-    s_row = jnp.sum(s_ref[...] * sel.astype(s_ref.dtype), axis=0)
-    d_row = jnp.sum(d_ref[...] * sel.astype(d_ref.dtype), axis=0)
+    # double-buffered slab DMA: step k's copy was issued at step k-1; prime
+    # at step 0 and prefetch the next strip before computing this one.
+    @pl.when(step == 0)
+    def _():
+        _issue(bi, ri, slot)
 
-    xs = slab[...] * s_row  # (rows+2, width+2, cin), style-modulated
+    @pl.when(step + 1 < nsteps)
+    def _():
+        nri = ri + 1
+        nbi = jnp.where(nri == nrstrips, bi + 1, bi)
+        nri = jnp.where(nri == nrstrips, 0, nri)
+        _issue(nbi, nri, 1 - slot)
+
+    pltpu.make_async_copy(
+        x_hbm.at[bi, pl.ds(ri * rows, rows + 2)], slab.at[slot], sem.at[slot]
+    ).wait()
+
+    xs = slab[slot]  # (rows+2, width+2, cin)
+    if has_mod:
+        # dynamic batch-row select via one-hot (Mosaic can't prove sublane
+        # alignment for a direct dynamic index on packed bf16 rows)
+        nb = s_ref.shape[0]
+        sel = (jax.lax.broadcasted_iota(jnp.int32, (nb, 1), 0) == bi)
+        s_row = jnp.sum(s_ref[...] * sel.astype(s_ref.dtype), axis=0)
+        xs = xs * s_row  # style-modulated
 
     acc = jnp.zeros((rows * width, cout), jnp.float32)
-    for dy in range(3):
-        r = xs[dy:dy + rows]  # (rows, width+2, cin)
-        for dx in range(3):
-            tap = r[:, dx:dx + width].reshape(rows * width, cin)
+    for dx in range(3):
+        # dx-outer: ONE unaligned sublane shift per dx (reused by all three
+        # dy taps) instead of nine
+        xd = xs[:, dx:dx + width]  # (rows+2, width, cin)
+        for dy in range(3):
+            tap = xd[dy:dy + rows].reshape(rows * width, cin)
             acc = acc + jnp.dot(tap, w_ref[dy * 3 + dx],
                                 preferred_element_type=jnp.float32)
 
-    out = acc * d_row
+    out = acc
+    if has_demod:
+        nb = d_ref.shape[0]
+        sel = (jax.lax.broadcasted_iota(jnp.int32, (nb, 1), 0) == bi)
+        out = out * jnp.sum(d_ref[...] * sel.astype(d_ref.dtype), axis=0)
     if has_act:
         out = out + b_ref[0]
         out = jnp.where(out >= 0, out, out * slope) * gain
     o_ref[0] = out.reshape(rows, width, cout).astype(o_ref.dtype)
 
 
-def modconv3x3_fused_pallas(x, w, s, d=None, act_bias=None,
+def modconv3x3_fused_pallas(x, w, s=None, d=None, act_bias=None,
                             negative_slope: float = 0.2,
                             gain: float = math.sqrt(2.0),
                             rows: int = 8, interpret: bool = False):
     """Fused styled conv: lrelu(demod·conv(x·s, w) + bias)·√2.
 
+    With s=None and d=None this is the shared-style FOLDED form (modulation
+    and demodulation already folded into `w` — the frame graph's production
+    case): a plain 3×3 conv with fused bias+lrelu, one HBM read and one
+    write, double-buffered slab DMA.
+
     Args:
       x: (B, H, W, C) NHWC; H divisible by `rows`.
       w: (3, 3, C, Cout) — already scaled by the equalized-LR factor.
-      s: (B, C) per-sample modulation; d: (B, Cout) demod (or None);
+      s: (B, C) per-sample modulation or None; d: (B, Cout) demod or None;
       act_bias: (Cout,) or None (None ⇒ no activation, raw conv out).
     """
     b, h, wd, c = x.shape
@@ -202,9 +234,12 @@ def modconv3x3_fused_pallas(x, w, s, d=None, act_bias=None,
     cp = ((c + 127) // 128) * 128
     xp = jnp.pad(x, ((0, 0), (1, 1), (1, wp - wd - 1), (0, cp - c)))
     w_taps = jnp.pad(w.reshape(9, c, cout), ((0, 0), (0, cp - c), (0, 0)))
-    s = jnp.pad(s, ((0, 0), (0, cp - c)))
+    has_mod = s is not None
+    s = (jnp.pad(s, ((0, 0), (0, cp - c))) if has_mod
+         else jnp.ones((1, cp), x.dtype))
+    has_demod = d is not None
     if d is None:
-        d = jnp.ones((b, cout), x.dtype)
+        d = jnp.ones((1, cout), x.dtype)
     has_act = act_bias is not None
     if act_bias is None:
         act_bias = jnp.zeros((cout,), x.dtype)
@@ -212,6 +247,7 @@ def modconv3x3_fused_pallas(x, w, s, d=None, act_bias=None,
     kern = functools.partial(
         _modconv3x3_kernel, rows=rows, width=wd, wpad=wp, cin=cp, cout=cout,
         slope=negative_slope, gain=gain, has_act=has_act,
+        has_mod=has_mod, has_demod=has_demod, nrstrips=h // rows,
     )
     return pl.pallas_call(
         kern,
@@ -228,8 +264,8 @@ def modconv3x3_fused_pallas(x, w, s, d=None, act_bias=None,
                                lambda bi, ri: (bi, ri, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((rows + 2, wp, cp), x.dtype),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, rows + 2, wp, cp), x.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
     )(s.astype(x.dtype), d.astype(x.dtype),
