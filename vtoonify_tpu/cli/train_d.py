@@ -269,16 +269,19 @@ def main(argv=None):
     # ---- full training ------------------------------------------------------
     pre = ckpt_util.load_pytree(args.encoder_path)
     vt_params["encoder"] = pre["g_ema"]["encoder"]
-    # fusion identity init (train_vtoonify_d.py:433-438)
+    # fusion identity init (train_vtoonify_d.py:433-438); weights are stored
+    # cat2-split (layers.split_cat2_weight) — the identity block sits
+    # entirely in weight_a (cin [0:c] = the f_G / skip operand)
     for fo in vt_params["fusion_out"]:
-        w = fo["conv"]["weight"]
-        c = w.shape[-1]
-        eye = jnp.eye(c)
-        fo["conv"]["weight"] = (w * 0.01).at[1, 1, 0:c, :].add(eye)
-    for i, fs in enumerate(vt_params["fusion_skip"]):
-        w = fs["weight"]
-        c = w.shape[-1]
-        fs["weight"] = (w * 0.01).at[1, 1, 0:c, :].add(jnp.eye(c))
+        wa = fo["conv"]["weight_a"]
+        c = wa.shape[-1]
+        fo["conv"]["weight_a"] = (wa * 0.01).at[1, 1, 0:c, :].add(jnp.eye(c))
+        fo["conv"]["weight_b"] = fo["conv"]["weight_b"] * 0.01
+    for fs in vt_params["fusion_skip"]:
+        wa = fs["weight_a"]
+        c = wa.shape[-1]
+        fs["weight_a"] = (wa * 0.01).at[1, 1, 0:c, :].add(jnp.eye(c))
+        fs["weight_b"] = fs["weight_b"] * 0.01
 
     psp_cfg = PSPEncoderConfig(n_styles=cfg.n_latent)
     psp_params, latent_avg, psp_cfg = ckpt_util.load_reference_psp(

@@ -213,15 +213,18 @@ def main(argv=None):
     pre = ckpt_util.load_pytree(args.encoder_path)
     vt_params["encoder"] = pre["g_ema"]["encoder"]
     # fusion identity init — T's fusion modules are plain convs
-    # (train_vtoonify_t.py:362-368)
+    # (train_vtoonify_t.py:362-368); weights stored cat2-split, the identity
+    # block sits entirely in weight_a (cin [0:c] = the out / skip operand)
     for fo in vt_params["fusion_out"]:
-        w = fo["weight"]
-        c = w.shape[-1]
-        fo["weight"] = (w * 0.01).at[1, 1, 0:c, :].add(jnp.eye(c))
+        wa = fo["weight_a"]
+        c = wa.shape[-1]
+        fo["weight_a"] = (wa * 0.01).at[1, 1, 0:c, :].add(jnp.eye(c))
+        fo["weight_b"] = fo["weight_b"] * 0.01
     for fs in vt_params["fusion_skip"]:
-        w = fs["weight"]
-        c = w.shape[-1]
-        fs["weight"] = (w * 0.01).at[1, 1, 0:c, :].add(jnp.eye(c))
+        wa = fs["weight_a"]
+        c = wa.shape[-1]
+        fs["weight_a"] = (wa * 0.01).at[1, 1, 0:c, :].add(jnp.eye(c))
+        fs["weight_b"] = fs["weight_b"] * 0.01
 
     psp_params, latent_avg, psp_cfg = ckpt_util.load_reference_psp(
         args.style_encoder_path

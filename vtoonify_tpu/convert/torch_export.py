@@ -39,8 +39,13 @@ def _linear(out, prefix, p):
 
 
 def _conv(out, prefix, p):
-    # (kh, kw, I, O) → (O, I, kh, kw)
-    out[f"{prefix}.weight"] = np.transpose(_n(p["weight"]), (3, 2, 0, 1))
+    # (kh, kw, I, O) → (O, I, kh, kw); cat2-split storage (weight_a/weight_b,
+    # nn/layers.py::split_cat2_weight) merges back to the torch cin layout
+    if "weight_a" in p:
+        w = np.concatenate([_n(p["weight_a"]), _n(p["weight_b"])], axis=2)
+    else:
+        w = _n(p["weight"])
+    out[f"{prefix}.weight"] = np.transpose(w, (3, 2, 0, 1))
     if "bias" in p:
         out[f"{prefix}.bias"] = _n(p["bias"])
 

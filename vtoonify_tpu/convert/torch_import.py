@@ -47,8 +47,16 @@ def _linear(sd, p):
     return out
 
 
-def _conv(sd, p):
-    out = {"weight": _j(np.transpose(sd[f"{p}.weight"], (2, 3, 1, 0)))}
+def _conv(sd, p, cat2_split=None):
+    """cat2_split: store the weight pre-split at that cin index
+    (nn/layers.py::split_cat2_weight) — convs that consume a channel
+    concat keep TP kernel gradients collective-free that way."""
+    w = np.transpose(sd[f"{p}.weight"], (2, 3, 1, 0))
+    if cat2_split is None:
+        out = {"weight": _j(w)}
+    else:
+        out = {"weight_a": _j(w[:, :, :cat2_split]),
+               "weight_b": _j(w[:, :, cat2_split:])}
     if f"{p}.bias" in sd:
         out["bias"] = _j(sd[f"{p}.bias"])
     return out
@@ -62,11 +70,12 @@ def convert_equal_conv2d(sd, prefix):
     return _conv(sd, prefix)
 
 
-def convert_conv_layer(sd, prefix, downsample=False, activate=True):
+def convert_conv_layer(sd, prefix, downsample=False, activate=True,
+                       cat2_split=None):
     """ConvLayer is an nn.Sequential; indices depend on flags
     (reference model.py:593-637)."""
     ci = 1 if downsample else 0
-    out = {"conv": _conv(sd, f"{prefix}.{ci}")}
+    out = {"conv": _conv(sd, f"{prefix}.{ci}", cat2_split=cat2_split)}
     act_key = f"{prefix}.{ci + 1}.bias"
     if activate and act_key in sd:
         out["act_bias"] = _j(sd[act_key])
@@ -139,7 +148,11 @@ def convert_discriminator(sd, cfg, prefix=""):
         "blocks": [
             convert_res_block(sd, f"{p}convs.{i + 1}") for i in range(n_blocks)
         ],
-        "final_conv": convert_conv_layer(sd, f"{p}final_conv"),
+        "final_conv": convert_conv_layer(
+            sd, f"{p}final_conv",
+            # cat[features, minibatch-stddev]: split at cin-1
+            cat2_split=sd[f"{p}final_conv.0.weight"].shape[1] - 1,
+        ),
         "final_linear": [
             _linear(sd, f"{p}final_linear.0"),
             _linear(sd, f"{p}final_linear.1"),
@@ -209,10 +222,12 @@ def convert_dualstylegan(sd, cfg, prefix=""):
 
 
 def convert_fusion(sd, prefix):
+    # conv/conv2 consume cat[f_G, ·] with equal halves — cat2-split at cin/2
+    half = sd[f"{prefix}.conv.weight"].shape[1] // 2
     return {
-        "conv": _conv(sd, f"{prefix}.conv"),
+        "conv": _conv(sd, f"{prefix}.conv", cat2_split=half),
         "norm": convert_adain(sd, f"{prefix}.norm"),
-        "conv2": _conv(sd, f"{prefix}.conv2"),
+        "conv2": _conv(sd, f"{prefix}.conv2", cat2_split=half),
         "linear": [
             _linear(sd, f"{prefix}.linear.0"),
             _linear(sd, f"{prefix}.linear.2"),
@@ -275,11 +290,18 @@ def convert_vtoonify(sd, cfg, prefix=""):
                 convert_fusion(sd, f"{p}fusion_out.{i}") for i in range(n_fuse)
             ]
         else:
+            # T fusion: cat[out, f_E] with equal halves
             out["fusion_out"] = [
-                _conv(sd, f"{p}fusion_out.{i}") for i in range(n_fuse)
+                _conv(sd, f"{p}fusion_out.{i}",
+                      cat2_split=sd[f"{p}fusion_out.{i}.weight"].shape[1]
+                      // 2)
+                for i in range(n_fuse)
             ]
+        # skip fusion: cat[skip(RGB), f_E·m_E] — split at img channels
         out["fusion_skip"] = [
-            _conv(sd, f"{p}fusion_skip.{i}") for i in range(n_fuse)
+            _conv(sd, f"{p}fusion_skip.{i}",
+                  cat2_split=sd[f"{p}fusion_skip.{i}.weight"].shape[0])
+            for i in range(n_fuse)
         ]
 
     if is_d and any(k.startswith(f"{p}res.") for k in sd):

@@ -304,7 +304,9 @@ def init_discriminator(key, cfg: DiscriminatorConfig):
         out_ch = ch[2 ** (i - 1)]
         params["blocks"].append(L.init_res_block(next(ki), in_ch, out_ch))
         in_ch = out_ch
+    # consumes cat[features, minibatch-stddev] — cat2-split at in_ch
     params["final_conv"] = L.init_conv_layer(next(ki), in_ch + 1, ch[4], 3)
+    L.split_cat2_weight(params["final_conv"]["conv"], in_ch)
     params["final_linear"] = [
         L.init_equal_linear(next(ki), ch[4] * 4 * 4, ch[4]),
         L.init_equal_linear(next(ki), ch[4], 1),
@@ -313,7 +315,14 @@ def init_discriminator(key, cfg: DiscriminatorConfig):
 
 
 def minibatch_stddev(x, stddev_group: int = 4, stddev_feat: int = 1):
-    """reference model.py:704-712 (channel-last)."""
+    """reference model.py:704-712 (channel-last), WITHOUT the final concat.
+
+    Returns the broadcast per-group stddev map (B, H, W, stddev_feat)
+    separately; the caller feeds (x, std) to conv_layer_cat2 so the
+    257-channel concat never materializes — a channel concat of a
+    TP-sharded activation with a 1-channel plane forces a GSPMD
+    all-to-all reshard (parallel/audit.py; round-3 dryrun abort class).
+    """
     b, h, w, c = x.shape
     group = min(b, stddev_group)
     y = x.reshape(group, b // group, h, w, stddev_feat, c // stddev_feat)
@@ -321,16 +330,15 @@ def minibatch_stddev(x, stddev_group: int = 4, stddev_feat: int = 1):
     std = jnp.sqrt(var + 1e-8)
     std = jnp.mean(std, axis=(1, 2, 4), keepdims=True)  # over H, W, C//feat
     std = std.squeeze(4)  # (b//group, 1, 1, feat)
-    std = jnp.tile(std, (group, h, w, 1))
-    return jnp.concatenate([x, std.astype(x.dtype)], axis=-1)
+    return jnp.tile(std, (group, h, w, 1)).astype(x.dtype)
 
 
 def discriminator_apply(params, cfg: DiscriminatorConfig, x):
     out = L.conv_layer(params["conv_in"], x, 1)
     for bp in params["blocks"]:
         out = L.res_block(bp, out)
-    out = minibatch_stddev(out)
-    out = L.conv_layer(params["final_conv"], out, 3)
+    out = L.conv_layer_cat2(params["final_conv"], out, minibatch_stddev(out),
+                            3)
     b = out.shape[0]
     # torch flattens NCHW (C major); transpose before reshape for parity.
     out = jnp.transpose(out, (0, 3, 1, 2)).reshape(b, -1)

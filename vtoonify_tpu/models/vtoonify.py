@@ -73,10 +73,14 @@ class VToonifyConfig:
 
 def init_fusion(key, in_ch, skip_ch, out_ch):
     k1, k2, k3, k4, k5 = jax.random.split(key, 5)
+    # conv/conv2 consume cat[f_G, ·] — stored cat2-SPLIT at in_ch so the
+    # TP kernel gradients stay collective-free (L.split_cat2_weight)
     return {
-        "conv": L.init_conv2d_torch(k1, in_ch + skip_ch, out_ch, 3),
+        "conv": L.split_cat2_weight(
+            L.init_conv2d_torch(k1, in_ch + skip_ch, out_ch, 3), in_ch),
         "norm": L.init_adaptive_instance_norm(k2, in_ch + skip_ch, 128),
-        "conv2": L.init_conv2d_torch(k3, in_ch + skip_ch, 1, 3),
+        "conv2": L.split_cat2_weight(
+            L.init_conv2d_torch(k3, in_ch + skip_ch, 1, 3), in_ch),
         "linear": [
             L.init_linear_torch(k4, 1, 64),
             L.init_linear_torch(k5, 64, 128),
@@ -92,12 +96,21 @@ def fusion_apply(p, f_G, f_E, d_s):
     label = jnp.zeros((b, 1), f_G.dtype) + jnp.asarray(d_s).astype(f_G.dtype)
     label = jax.nn.leaky_relu(L.linear_torch(p["linear"][0], label), 0.2)
     label = jax.nn.leaky_relu(L.linear_torch(p["linear"][1], label), 0.2)
-    out = jnp.concatenate([f_G, jnp.abs(f_G - f_E)], axis=-1)
-    out = L.adaptive_instance_norm(p["norm"], out, label)
-    m_E = jnp.tanh(jax.nn.relu(L.conv2d_torch(p["conv2"], out, padding=1)))
-    f_out = L.conv2d_torch(
-        p["conv"], jnp.concatenate([f_G, f_E * m_E], axis=-1), padding=1
-    )
+    # concat-free formulation of the reference's cat[f_G, |f_G−f_E|] → AdaIN
+    # → conv chain (vtoonify.py:124-127): instance norm is per-channel and
+    # the convs are linear in input channels, so every concat splits exactly
+    # into per-operand halves — no channel concat of two TP-sharded
+    # activations (which GSPMD reshards with an all-to-all; parallel/audit).
+    c = f_G.shape[-1]
+    st = L.linear_torch(p["norm"]["style"], label)  # (B, 4c): γ|β over cat
+    diff = jnp.abs(f_G - f_E)
+    na = (st[:, None, None, 0:c] * L.instance_norm_2d(f_G)
+          + st[:, None, None, 2 * c:3 * c])
+    nb = (st[:, None, None, c:2 * c] * L.instance_norm_2d(diff)
+          + st[:, None, None, 3 * c:4 * c])
+    m_E = jnp.tanh(jax.nn.relu(L.conv2d_torch_cat2(p["conv2"], na, nb,
+                                                   padding=1)))
+    f_out = L.conv2d_torch_cat2(p["conv"], f_G, f_E * m_E, padding=1)
     return f_out, m_E
 
 
@@ -174,13 +187,13 @@ def init_vtoonify(key, cfg: VToonifyConfig):
         if is_d:
             params["fusion_out"].append(init_fusion(next(ki), c, c, c))
         else:
-            params["fusion_out"].append(
-                L.init_conv2d_torch(next(ki), c * 2, c, 3)
-            )
-        params["fusion_skip"].append(
-            L.init_conv2d_torch(next(ki), c + cfg.img_channels,
-                                cfg.img_channels, 3)
-        )
+            # T fusion: cat[out, f_E] — cat2-split at c
+            params["fusion_out"].append(L.split_cat2_weight(
+                L.init_conv2d_torch(next(ki), c * 2, c, 3), c))
+        # skip fusion: cat[skip(RGB), f_E·m_E] — cat2-split at img_channels
+        params["fusion_skip"].append(L.split_cat2_weight(
+            L.init_conv2d_torch(next(ki), cfg.img_channels + c,
+                                cfg.img_channels, 3), cfg.img_channels))
 
     # dilated ModRes copies for the encoder (D only, vtoonify.py:200-207)
     if is_d:
@@ -300,22 +313,19 @@ def vtoonify_apply(
                 out, m_E = fusion_apply(
                     params["fusion_out"][fusion_index], out, f_E, d_s
                 )
-                skip = L.conv2d_torch(
+                skip = L.conv2d_torch_cat2(
                     params["fusion_skip"][fusion_index],
-                    jnp.concatenate([skip, f_E * m_E], axis=-1),
-                    padding=1,
+                    skip, f_E * m_E, padding=1,
                 )
                 m_Es.append(m_E)
             else:
-                out = L.conv2d_torch(
+                out = L.conv2d_torch_cat2(
                     params["fusion_out"][fusion_index],
-                    jnp.concatenate([out, f_E], axis=-1),
-                    padding=1,
+                    out, f_E, padding=1,
                 )
-                skip = L.conv2d_torch(
+                skip = L.conv2d_torch_cat2(
                     params["fusion_skip"][fusion_index],
-                    jnp.concatenate([skip, f_E], axis=-1),
-                    padding=1,
+                    skip, f_E, padding=1,
                 )
 
         # noise is architecturally zero (vtoonify.py:266-267) → omit
@@ -412,8 +422,8 @@ def cond_discriminator_apply(params, cfg: CondDiscriminatorConfig, x,
     out = L.conv_layer(params["conv_in"], x, 1)
     for bp in params["blocks"]:
         out = L.res_block(bp, out)
-    out = G.minibatch_stddev(out)
-    out = L.conv_layer(params["final_conv"], out, 3)
+    out = L.conv_layer_cat2(params["final_conv"], out,
+                            G.minibatch_stddev(out), 3)
     b = out.shape[0]
     out = jnp.transpose(out, (0, 3, 1, 2)).reshape(b, -1)
     out = L.equal_linear(params["final_linear"][0], out, activation=True)

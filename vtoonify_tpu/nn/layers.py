@@ -126,6 +126,52 @@ def conv_layer(p, x, ksize, downsample=False, activate=True, dilation=1,
     return out
 
 
+def split_cat2_weight(p, c1):
+    """Convert a ``{"weight", ...}`` conv dict to cat2 SPLIT storage in
+    place: ``weight`` (kh, kw, cin, cout) → ``weight_a`` = [:, :, :c1] and
+    ``weight_b`` = [:, :, c1:].
+
+    Why stored pre-split rather than sliced in apply: the transpose of a
+    kernel slice is a pad, and under TP (cout-sharded kernels, channel-
+    sharded activations) GSPMD computes the per-operand kernel gradients
+    cin-sharded and inserts an all-to-all at that pad to reshard them back
+    to the param's cout sharding. With two independent params each gradient
+    is pinned to its param's sharding and the grad convs compile
+    collective-free (measured: slice → 2 collective-permutes/all-to-alls
+    per conv per call; split params → none, only the inherent cin
+    all-gathers). Same arithmetic either way."""
+    w = p.pop("weight")
+    p["weight_a"] = w[:, :, :c1]
+    p["weight_b"] = w[:, :, c1:]
+    return p
+
+
+def merge_cat2_weight(p):
+    """Inverse of split_cat2_weight (checkpoint export): full weight."""
+    return jnp.concatenate([p["weight_a"], p["weight_b"]], axis=2)
+
+
+def conv_layer_cat2(p, x1, x2, ksize):
+    """conv_layer(p, concatenate([x1, x2], axis=-1), ksize) WITHOUT the
+    concat (same argument as conv2d_torch_cat2 — a concat along a TP-sharded
+    channel axis forces a GSPMD all-to-all; applying the kernel per operand
+    is the identical contraction regrouped). Non-downsample, activated form —
+    the discriminators' minibatch-stddev append. The kernel is stored
+    pre-split (see split_cat2_weight): x1 gets weight_a, x2 weight_b."""
+    wa, wb = p["conv"]["weight_a"], p["conv"]["weight_b"]
+    kh, kw = wa.shape[:2]
+    cin = wa.shape[2] + wb.shape[2]
+    scale = 1.0 / math.sqrt(cin * kh * kw)
+    padding = ksize // 2
+    out = conv2d(x1, (wa * scale).astype(x1.dtype),
+                 padding=padding) + conv2d(
+        x2, (wb * scale).astype(x2.dtype), padding=padding
+    )
+    if "bias" in p["conv"]:
+        out = out + p["conv"]["bias"].astype(out.dtype)
+    return fused_leaky_relu(out, p.get("act_bias"))
+
+
 def init_res_block(key, in_ch, out_ch):
     k1, k2, k3 = jax.random.split(key, 3)
     return {
@@ -166,18 +212,22 @@ def _compose_upsample_kernel(w_scaled, blur_kernel):
     """
     kh, kw, cin, cout = w_scaled.shape
     g = jnp.flip(w_scaled, axis=(0, 1))
-    bk1 = make_kernel(blur_kernel).astype(w_scaled.dtype)
+    bk1 = make_kernel(blur_kernel).astype(jnp.float32)
     bk = jnp.outer(bk1, bk1) * 4.0
     kt = bk.shape[0]
-    gi = jnp.transpose(g, (2, 3, 0, 1)).reshape(cin * cout, kh, kw, 1)
-    # full convolution: correlate with flipped bk (bk is symmetric anyway)
-    c = lax.conv_general_dilated(
-        gi, jnp.flip(bk, (0, 1))[:, :, None, None],
-        (1, 1), ((kt - 1, kt - 1), (kt - 1, kt - 1)),
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-    )
     ch, cw = kh + kt - 1, kw + kt - 1
-    return jnp.transpose(c.reshape(cin, cout, ch, cw), (2, 3, 0, 1))
+    # full convolution c[p,q,i,o] = Σ_{a,b} g[a,b,i,o]·bk[p−a,q−b], expressed
+    # as one tiny einsum against a (kh,kw,ch,cw) tap tensor (constant-folded
+    # by XLA when blur_kernel is static). Keeping the channel dims in place
+    # (no transpose/reshape through cin·cout) lets a TP sharding of cout
+    # propagate collective-free — the batch-of-planes conv formulation forced
+    # GSPMD to all-to-all the kernel every call (found via parallel/audit.py;
+    # also fewer ops for XLA to schedule).
+    taps = jnp.zeros((kh, kw, ch, cw), jnp.float32)
+    for a in range(kh):
+        for b in range(kw):
+            taps = taps.at[a, b, a:a + kt, b:b + kt].set(bk)
+    return jnp.einsum("abio,abpq->pqio", g, taps.astype(w_scaled.dtype))
 
 
 def _fused_upsample_conv(x, w_scaled, blur_kernel):
@@ -198,11 +248,27 @@ def _fused_upsample_conv(x, w_scaled, blur_kernel):
         c[1::2, 1::2], c[1::2, 0::2], c[0::2, 1::2], c[0::2, 0::2]
     ]  # (a,b) = (0,0),(0,1),(1,0),(1,1)
     cin, cout = c.shape[2], c.shape[3]
-    k_cat = jnp.concatenate(phases, axis=-1)  # (3, 3, cin, 4*cout)
+    # phase-MINOR (cout-major) channel packing, unlike the packed-stay tail's
+    # phase-major convention: these convs are the wide (TP-shardable) stages,
+    # and stacking the phases under cout keeps the sharded dim major through
+    # the (cout,4)→4·cout merge — collective-free under GSPMD, where a concat
+    # along the sharded axis forced an all-to-all of the kernel every call
+    # (the round-3 dryrun abort; parallel/audit.py + the
+    # test_hlo_collectives_* guards). The tail stages (cout ≤ 128) are never
+    # TP-sharded, so their shared phase-major layout is unaffected.
+    k_cat = jnp.stack(phases, axis=-1).reshape(3, 3, cin, 4 * cout)
     yp = conv2d(x, k_cat.astype(x.dtype), padding=1)  # (B, H, W, 4*cout)
-    # the (a,b) concat order above is exactly depth_to_space2's phase-major
-    # packing — one shared interleave (and one shared Pallas fast path)
-    return depth_to_space2(yp)
+    return _depth_to_space2_phase_minor(yp)
+
+
+def _depth_to_space2_phase_minor(yp):
+    """(B, H, W, 4C) cout-major packed (channel index = o·4 + (a·2+b)) →
+    (B, 2H, 2W, C). Inverse of _fused_upsample_conv's stacking; see
+    depth_to_space2 for the phase-major variant the packed tail uses."""
+    b, h, w_, c4 = yp.shape
+    c = c4 // 4
+    yp = yp.reshape(b, h, w_, c, 2, 2)
+    return jnp.transpose(yp, (0, 1, 4, 2, 5, 3)).reshape(b, 2 * h, 2 * w_, c)
 
 
 def modulated_conv2d(p, x, style, demodulate=True, upsample=False,
@@ -338,6 +404,27 @@ def init_conv2d_torch(key, in_ch, out_ch, ksize, bias=True):
 def conv2d_torch(p, x, stride=1, padding=0, dilation=1, groups=1):
     out = conv2d(x, p["weight"].astype(x.dtype), stride=stride, padding=padding,
                  dilation=dilation, groups=groups)
+    if "bias" in p:
+        out = out + p["bias"].astype(out.dtype)
+    return out
+
+
+def conv2d_torch_cat2(p, x1, x2, padding=0):
+    """conv2d_torch(p, concatenate([x1, x2], axis=-1)) WITHOUT the concat.
+
+    A channel concat of two TP-sharded activations forces GSPMD to
+    all-to-all the operands (the round-3 dryrun abort class; see
+    parallel/audit.py and tests/test_sharding.py::test_hlo_collectives_*).
+    The conv is linear in its input channels, so applying the kernel per
+    operand is the same contraction regrouped — concat-free, each piece
+    independently shardable, the add fused into the conv epilogue by XLA.
+    The kernel is stored pre-split (split_cat2_weight; slicing it in apply
+    would put an all-to-all in the kernel-gradient path instead).
+    Bit-level: partial-sum order changes (≤ float-rounding drift)."""
+    out = conv2d(x1, p["weight_a"].astype(x1.dtype),
+                 padding=padding) + conv2d(
+        x2, p["weight_b"].astype(x2.dtype), padding=padding
+    )
     if "bias" in p:
         out = out + p["bias"].astype(out.dtype)
     return out
