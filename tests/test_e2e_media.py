@@ -144,6 +144,34 @@ def test_style_transfer_image_on_real_photo(zoo, tmp_path):
     _check_golden("image_vtoonify_d", out, atol=3.0)
 
 
+def test_style_transfer_image_sp_bit_equal(zoo, tmp_path):
+    """--sp 8 (spatial partitioning: ONE frame's height sharded over the
+    8-device virtual mesh, VERDICT r3 #2) drives the same CLI path and must
+    write a bit-identical output to the unsharded run — GSPMD halo exchanges
+    are exact, and the JPEG encoder sees identical pixels."""
+    import cv2
+
+    from vtoonify_tpu.cli import style_transfer
+
+    content = os.path.join(REF_DATA, "077436.jpg")
+    out_ref = str(tmp_path / "ref")
+    out_sp = str(tmp_path / "sp")
+    style_transfer.main(_cli_args(zoo, out_ref, content))
+    style_transfer.main(_cli_args(zoo, out_sp, content) + ["--sp", "8"])
+
+    ref = cv2.imread(os.path.join(out_ref, "077436_vtoonify_d.jpg"))
+    sp = cv2.imread(os.path.join(out_sp, "077436_vtoonify_d.jpg"))
+    assert ref is not None and sp is not None
+    np.testing.assert_array_equal(sp, ref)
+
+    # --sp and --dp are mutually exclusive; over-subscription errors cleanly
+    with pytest.raises(SystemExit):
+        style_transfer.main(_cli_args(zoo, out_sp, content)
+                            + ["--sp", "8", "--dp", "2"])
+    with pytest.raises(SystemExit):
+        style_transfer.main(_cli_args(zoo, out_sp, content) + ["--sp", "64"])
+
+
 def test_style_transfer_video_on_real_clip(zoo, tmp_path):
     import cv2
 

@@ -67,6 +67,14 @@ def build_parser():
                    help="XLA matmul/conv precision for f32 ops. On TPU the "
                         "XLA default is a single bf16 MXU pass; 'highest' "
                         "gives bit-faithful f32 at ~4-6x the MXU cost")
+    p.add_argument("--sp", type=int, default=None,
+                   help="spatial partitioning: shard each frame's height "
+                        "over N devices (single-frame/batch-1 latency "
+                        "scale-out; bit-equal to unsharded execution). "
+                        "Requires >= N visible devices")
+    p.add_argument("--dp", type=int, default=None,
+                   help="data parallelism: shard the frame batch over N "
+                        "devices (video throughput scale-out)")
     p.add_argument("--profile", action="store_true",
                    help="print a decode/dispatch/fetch/encode stage "
                         "breakdown after video processing")
@@ -147,10 +155,33 @@ def main(argv=None):
             )
         exstyle = bank[names[args.style_id]]
 
+    if args.sp and args.dp:
+        raise SystemExit("error: --sp and --dp are mutually exclusive")
+    mesh = None
+    if args.sp:
+        from vtoonify_tpu.parallel.mesh import make_spatial_mesh
+
+        if len(jax.devices()) < args.sp:
+            raise SystemExit(
+                f"error: --sp {args.sp} but only {len(jax.devices())} "
+                "devices are visible"
+            )
+        mesh = make_spatial_mesh(args.sp)
+    elif args.dp:
+        from vtoonify_tpu.parallel.mesh import make_mesh
+
+        if len(jax.devices()) < args.dp:
+            raise SystemExit(
+                f"error: --dp {args.dp} but only {len(jax.devices())} "
+                "devices are visible"
+            )
+        mesh = make_mesh(args.dp)
+
     pipe = ToonifyPipeline(
         vt_params, cfg, parsing_params, psp_params=psp_params,
         psp_cfg=psp_cfg, latent_avg=latent_avg, exstyle=exstyle,
         dtype=jnp.float32 if args.fp32 else jnp.bfloat16,
+        mesh=mesh,
         # device graph ends space-to-depth packed; the writer/image path
         # finishes the depth-to-space as a host byte permutation (PERF.md)
         packed_output=True,

@@ -115,7 +115,11 @@ class ToonifyPipeline:
         dtype=jnp.bfloat16,
         mesh=None,  # optional jax.sharding Mesh: shard the frame axis over
         # 'dp'; when the mesh has a 'tp' axis > 1, the wide (≥256-channel)
-        # conv/linear weights are additionally channel-sharded over 'tp'
+        # conv/linear weights are additionally channel-sharded over 'tp'.
+        # A mesh with an 'sp' axis (parallel.mesh.make_spatial_mesh) instead
+        # shards each frame's HEIGHT over the devices — single-frame latency
+        # scale-out via GSPMD conv halo exchanges, bit-equal to unsharded
+        # execution (tests/test_sharding.py::test_sp_single_frame_inference)
         size_bucket: Optional[int] = None,  # round H,W up to a multiple and
         # crop the output — one compiled program per bucket instead of per
         # exact crop size. NOT bit-exact: BiSeNet's global average pools and
@@ -210,6 +214,10 @@ class ToonifyPipeline:
     def _place(self, frames):
         if self.mesh is None:
             return jnp.asarray(frames)
+        if "sp" in self.mesh.shape:
+            from vtoonify_tpu.parallel.mesh import shard_array_spatial
+
+            return shard_array_spatial(jnp.asarray(frames), self.mesh)
         from vtoonify_tpu.parallel.mesh import shard_array_batch
 
         return shard_array_batch(jnp.asarray(frames), self.mesh)
@@ -249,8 +257,8 @@ class ToonifyPipeline:
     def process_batch_with_parsing(self, frames_u8: np.ndarray, x_p, s_w,
                                    d_s: float):
         return self._frame_fn_parsing(
-            self.vt_params, self.vt_cfg, jnp.asarray(frames_u8),
-            jnp.asarray(x_p), s_w, jnp.asarray(d_s, jnp.float32),
+            self.vt_params, self.vt_cfg, self._place(np.asarray(frames_u8)),
+            self._place(np.asarray(x_p)), s_w, jnp.asarray(d_s, jnp.float32),
         )
 
     def process_image(self, frame_u8: np.ndarray, s_w, d_s: float) -> np.ndarray:
