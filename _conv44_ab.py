@@ -81,10 +81,17 @@ def make(f, reps=4):
 
 null = jax.jit(lambda a: jnp.sum(a[0, 0, 0].astype(jnp.float32)))
 import os as _os
-_sel = _os.environ.get("AB_VARIANTS", "conv,conv_ctx,taps9,pallas_fold")
+# pallas_fold runs pl.pallas_call compiled (non-interpret) — TPU-only
+_on_tpu = jax.devices()[0].platform == "tpu"
+_default = "conv,conv_ctx,taps9" + (",pallas_fold" if _on_tpu else "")
+_sel = [k.strip() for k in
+        _os.environ.get("AB_VARIANTS", _default).split(",") if k.strip()]
 _all = {"conv": conv, "conv_ctx": conv_ctx, "taps9": taps9,
         "pallas_fold": pallas_fold}
-fns = {k: make(_all[k]) for k in _sel.split(",")}
+_unknown = [k for k in _sel if k not in _all]
+if _unknown:
+    raise SystemExit(f"unknown AB_VARIANTS {_unknown}; known: {sorted(_all)}")
+fns = {k: make(_all[k]) for k in _sel}
 for name, (f, _) in fns.items():
     np.asarray(f(x0))
 np.asarray(null(x0))

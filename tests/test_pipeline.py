@@ -374,13 +374,21 @@ def test_video_engine_overlap_beats_serialized(tmp_path):
         return t_serial, t_engine
 
     # ideal is ~2.0 when host and device cost are equal; ≥1.3 proves real
-    # overlap with generous margin for scheduler noise. One retry: a busy CI
-    # host can stall either loop's threads and fake a low ratio.
-    for attempt in range(2):
-        t_serial, t_engine = measure()
-        ratio = t_serial / t_engine
-        if ratio >= 1.3:
-            break
+    # overlap with generous margin for scheduler noise. A busy CI host can
+    # stall either loop's threads and fake a low ratio, so retry ONLY when
+    # the first measurement is near the threshold (a clearly-broken engine —
+    # ratio ≈ 1.0 — must not get a second roll of the dice; ADVICE r3), and
+    # log both measurements so a masked regression stays visible.
+    t_serial, t_engine = measure()
+    ratio = t_serial / t_engine
+    if 1.0 < ratio < 1.3:
+        t_serial2, t_engine2 = measure()
+        ratio2 = t_serial2 / t_engine2
+        print(f"overlap retry: first ratio {ratio:.2f} "
+              f"({t_serial:.3f}s/{t_engine:.3f}s), "
+              f"second {ratio2:.2f} ({t_serial2:.3f}s/{t_engine2:.3f}s)")
+        if ratio2 > ratio:
+            t_serial, t_engine, ratio = t_serial2, t_engine2, ratio2
     assert ratio >= 1.3, (
         f"engine not overlapping: serialized {t_serial:.3f}s vs engine "
         f"{t_engine:.3f}s (ratio {ratio:.2f}, delay {delay * 1e3:.0f} ms)"

@@ -146,7 +146,7 @@ def blur_same_pallas(x, kernel_1d, pad=(1, 1), interpret: bool = False):
 
 
 def _modconv3x3_kernel(s_ref, d_ref, b_ref, w_ref, x_hbm, o_ref, slab, sem,
-                       *, rows, width, wpad, cin, cout, slope, gain, has_act,
+                       *, rows, width, cin, cout, slope, gain, has_act,
                        has_mod, has_demod, nrstrips):
     bi = pl.program_id(0)
     ri = pl.program_id(1)
@@ -245,7 +245,7 @@ def modconv3x3_fused_pallas(x, w, s=None, d=None, act_bias=None,
         act_bias = jnp.zeros((cout,), x.dtype)
 
     kern = functools.partial(
-        _modconv3x3_kernel, rows=rows, width=wd, wpad=wp, cin=cp, cout=cout,
+        _modconv3x3_kernel, rows=rows, width=wd, cin=cp, cout=cout,
         slope=negative_slope, gain=gain, has_act=has_act,
         has_mod=has_mod, has_demod=has_demod, nrstrips=h // rows,
     )
@@ -267,6 +267,14 @@ def modconv3x3_fused_pallas(x, w, s=None, d=None, act_bias=None,
             pltpu.VMEM((2, rows + 2, wp, cp), x.dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ],
+        # the cross-grid-step double buffering (step k issues step k+1's slab
+        # DMA into the other slot) requires SEQUENTIAL grid execution — pin
+        # both dims to ARBITRARY so a future Megacore/parallel default can't
+        # silently corrupt the slot/semaphore handoff (ADVICE r3)
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=(pltpu.GridDimensionSemantics.ARBITRARY,
+                                 pltpu.GridDimensionSemantics.ARBITRARY),
+        ),
         interpret=interpret,
     )(s.astype(x.dtype), d.astype(x.dtype),
       act_bias.astype(x.dtype)[None], w_taps.astype(x.dtype), xp)
