@@ -70,6 +70,11 @@ def build_parser():
     p.add_argument("--tp", type=int, default=1,
                    help="tensor-parallel mesh width")
     p.add_argument("--multihost", action="store_true")
+    p.add_argument("--coordinator", type=str, default=None,
+                   help="host:port of process 0 (multi-host manual launch; "
+                        "defaults to VTOONIFY_COORDINATOR or auto-detect)")
+    p.add_argument("--num_processes", type=int, default=None)
+    p.add_argument("--process_id", type=int, default=None)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--profile", type=int, default=0, metavar="N",
                    help="capture an XLA device trace of N steps (written to "
@@ -122,9 +127,10 @@ def main(argv=None):
         print(f"{k}: {v}")
 
     if args.multihost:
-        import jax
+        from vtoonify_tpu.parallel.multihost import initialize
 
-        jax.distributed.initialize()
+        initialize(args.coordinator, args.num_processes,
+                   args.process_id)
 
     import jax
     import jax.numpy as jnp

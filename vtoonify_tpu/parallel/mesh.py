@@ -73,6 +73,19 @@ def shard_array_batch(x, mesh: Mesh):
     return jax.device_put(x, shard_batch(mesh, np.ndim(x)))
 
 
+def shard_process_local_batch(x_local, mesh: Mesh):
+    """Multi-host data feeding: each process passes its own slice of the
+    global batch (leading axis); returns the logically-global dp-sharded
+    array. Replaces the reference's DistributedSampler + DDP input split
+    (train_vtoonify_d.py:454-461) — on one process this degenerates to
+    `shard_array_batch`."""
+    sharding = shard_batch(mesh, np.ndim(x_local))
+    global_shape = ((x_local.shape[0] * jax.process_count(),)
+                    + tuple(x_local.shape[1:]))
+    return jax.make_array_from_process_local_data(
+        sharding, np.asarray(x_local), global_shape=global_shape)
+
+
 def make_spatial_mesh(n_devices: Optional[int] = None, devices=None) -> Mesh:
     """1-D mesh over the 'sp' axis for spatial partitioning."""
     devices = list(devices if devices is not None else jax.devices())
