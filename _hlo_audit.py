@@ -2,7 +2,10 @@
 and report the collective inventory of each compiled module (no execution —
 safe on hosts with fewer cores than rendezvous participants).
 
-Usage: python _hlo_audit.py [phase ...]   phases: d, pretrain, t, infer, sp
+Usage: python _hlo_audit.py [phase ...]   phases: d, t
+(the same inventory is guarded in-suite by tests/test_sharding.py::
+test_hlo_collectives_{train_d,train_t,inference} — the inference audit covers
+the dp×tp and sp frame graphs there)
 """
 
 import os
@@ -27,6 +30,10 @@ from vtoonify_tpu.parallel.audit import collective_counts, collective_lines  # n
 
 def main():
     phases = sys.argv[1:] or ["t"]
+    unknown = set(phases) - {"d", "t"}
+    if unknown:
+        raise SystemExit(f"unknown phase(s) {sorted(unknown)}; "
+                         "supported: d, t (see module docstring)")
     n_devices = 8
 
     from vtoonify_tpu.models.bisenet import init_bisenet

@@ -34,15 +34,16 @@ def main(argv=None):
     os.makedirs(args.out, exist_ok=True)
 
     import cv2
-    import numpy as np
 
     from vtoonify_tpu.pipeline.model_api import Model
 
-    landmarks = (np.load(args.landmarks) if args.landmarks is not None
-                 else None)
+    styles = [s.strip() for s in args.styles.split(",") if s.strip()]
+    if not styles:
+        ap.error("--styles must name at least one registry style")
 
     # ---- Part 1: one-call demo ---------------------------------------------
-    m = Model(checkpoint_root=args.checkpoint_root, landmarks=landmarks)
+    # Model/StaticLandmarker accept an .npy path directly
+    m = Model(checkpoint_root=args.checkpoint_root, landmarks=args.landmarks)
     frame, aligned, msg = m.detect_and_align_image(args.content)
     print("align:", msg)
     out = m.image_toonify(frame, aligned, style_degree=0.5,
@@ -62,7 +63,6 @@ def main(argv=None):
 
     # ---- Part 3: style control ---------------------------------------------
     # Different exemplars/models + color transfer on/off.
-    styles = [s.strip() for s in args.styles.split(",") if s.strip()]
     for style_type in styles:
         img = m.image_toonify(frame, aligned, style_degree=0.6,
                               style_type=style_type)

@@ -28,7 +28,7 @@ from urllib.parse import parse_qs, urlparse
 
 _PAGE = """<!doctype html><meta charset="utf-8"><title>VToonify-TPU demo</title>
 <style>body{font-family:sans-serif;max-width:720px;margin:2em auto}
-img{max-width:100%%}</style>
+img{max-width:100%}</style>
 <h2>VToonify-TPU demo</h2>
 <p>Portrait image &rarr; stylized 4&times; output. One style code per image
 (computed from the aligned face), synthesis on the accelerator.</p>
@@ -96,35 +96,48 @@ def make_handler(model, default_style: str):
             if url.path != "/toonify":
                 self._send(404, "not found")
                 return
+            # drain the body FIRST: replying (even an error) while the
+            # client is still streaming the upload breaks the connection
+            # (client-side EPIPE) instead of delivering the status
+            n = int(self.headers.get("Content-Length", 0))
+            raw = self.rfile.read(n) if n > 0 else b""
             q = parse_qs(url.query)
             style = q.get("style_type", [default_style])[0]
-            degree = float(q.get("style_degree", ["0.5"])[0])
+            try:
+                degree = float(q.get("style_degree", ["0.5"])[0])
+            except ValueError:
+                self._send(400, "style_degree must be a number")
+                return
             color = q.get("color_transfer", ["0"])[0] in ("1", "true")
             if style not in STYLE_TYPES:
                 self._send(400, f"unknown style_type {style!r}")
                 return
-            n = int(self.headers.get("Content-Length", 0))
-            if n == 0:
+            if not raw:
                 self._send(400, "empty body — POST raw image bytes")
                 return
-            raw = self.rfile.read(n)
             buf = np.frombuffer(raw, np.uint8)
             bgr = cv2.imdecode(buf, cv2.IMREAD_COLOR)
             if bgr is None:
                 self._send(400, "could not decode image")
                 return
-            import tempfile
-
-            # detect_and_align reads from a path (cv2 IO parity with the
-            # reference); round-trip through a temp file
-            with tempfile.NamedTemporaryFile(suffix=".png") as tf:
-                cv2.imwrite(tf.name, bgr)
-                frame, aligned, msg = model.detect_and_align_image(tf.name)
-            if frame is None:
-                self._send(422, msg)
+            try:
+                frame, aligned, msg = model.detect_and_align_frame(
+                    cv2.cvtColor(bgr, cv2.COLOR_BGR2RGB))
+                if frame is None:
+                    self._send(422, msg)
+                    return
+                out = model.image_toonify(frame, aligned,
+                                          style_degree=degree,
+                                          style_type=style,
+                                          color_transfer=color)
+            except FileNotFoundError as e:
+                # registry lists every released style; only the installed
+                # ones have checkpoints on disk
+                self._send(404, f"style {style!r} not installed: {e}")
                 return
-            out = model.image_toonify(frame, aligned, style_degree=degree,
-                                      style_type=style, color_transfer=color)
+            except Exception as e:  # keep the connection HTTP-shaped
+                self._send(500, f"{type(e).__name__}: {e}")
+                return
             ok, enc = cv2.imencode(".jpg",
                                    cv2.cvtColor(out, cv2.COLOR_RGB2BGR))
             if not ok:
@@ -192,12 +205,11 @@ def main(argv=None):
 
         jax.config.update("jax_platforms", "cpu")
 
-    import numpy as np
-
     from vtoonify_tpu.pipeline.model_api import Model
 
-    landmarks = np.load(args.landmarks) if args.landmarks else None
-    model = Model(checkpoint_root=args.checkpoint_root, landmarks=landmarks)
+    # Model/StaticLandmarker accept an .npy path directly
+    model = Model(checkpoint_root=args.checkpoint_root,
+                  landmarks=args.landmarks)
 
     if args.gradio:
         _gradio_app(model, args.style_type).launch(

@@ -50,6 +50,16 @@ def _worker_env(port: int, pid: int) -> dict:
     return env
 
 
+def test_initialize_rejects_ranks_without_coordinator(monkeypatch):
+    """Explicit ranks with no coordinator must error clearly, not silently
+    fall into cluster auto-detection with the user's ranks dropped."""
+    from vtoonify_tpu.parallel import multihost
+
+    monkeypatch.delenv(multihost.ENV_COORDINATOR, raising=False)
+    with pytest.raises(ValueError, match="coordinator"):
+        multihost.initialize(num_processes=2, process_id=1)
+
+
 def test_two_process_dp_step():
     port = _free_port()
     procs = [

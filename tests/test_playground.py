@@ -7,22 +7,13 @@ checkpoint zoo and precomputed landmarks."""
 import importlib.util
 import os
 import sys
-from argparse import Namespace
 
 import numpy as np
 import pytest
-import torch
 
-from tests import reference_oracle as oracle
-
-oracle.install()
-from model.vtoonify import VToonify  # noqa: E402
-from model.bisenet.model import BiSeNet  # noqa: E402
-from model.encoder.encoders.psp_encoders import GradualStyleEncoder  # noqa: E402
+from tests.zoo import build_zoo, portrait_landmarks
 
 pytestmark = pytest.mark.e2e
-
-N_LATENT = 12
 
 
 def _load_playground():
@@ -37,30 +28,9 @@ def _load_playground():
 
 @pytest.fixture(scope="module")
 def zoo_root(tmp_path_factory):
-    """checkpoint_root in the Model's expected layout (reference
-    checkpoint/README.md:4-35)."""
-    root = tmp_path_factory.mktemp("playground_zoo")
-    torch.manual_seed(43)
-    style_dir = root / "vtoonify_d_arcane"  # 'arcane1-d' → style id 0
-    style_dir.mkdir()
-    vt = VToonify(in_size=32, out_size=128, channel_multiplier=1,
-                  num_res_layers=2, backbone="dualstylegan")
-    torch.save({"g_ema": vt.state_dict()}, str(style_dir / "vtoonify_s_d.pt"))
-    torch.save(BiSeNet(19).state_dict(), str(root / "faceparsing.pth"))
-    enc = GradualStyleEncoder(50, "ir_se",
-                              Namespace(input_nc=3, n_styles=N_LATENT))
-    torch.save(
-        {
-            "state_dict": {"encoder." + k: v
-                           for k, v in enc.state_dict().items()},
-            "latent_avg": torch.randn(N_LATENT, 512),
-        },
-        str(root / "encoder.pt"),
-    )
-    rng = np.random.RandomState(44)
-    bank = {"style0.png": rng.randn(1, N_LATENT, 512).astype(np.float32) * 0.3}
-    np.save(str(style_dir / "exstyle_code.npy"), bank, allow_pickle=True)
-    return root
+    # 'arcane1-d' → style id 0 (tests/zoo.py holds the layout)
+    return build_zoo(tmp_path_factory.mktemp("playground_zoo"),
+                     "vtoonify_d_arcane", torch_seed=43, bank_seed=44)
 
 
 def test_playground_all_parts(zoo_root, tmp_path):
@@ -73,13 +43,8 @@ def test_playground_all_parts(zoo_root, tmp_path):
     img = rng.randint(0, 256, (375, 500, 3), np.uint8)
     content = str(tmp_path / "face.png")
     cv2.imwrite(content, img)
-    lm = np.zeros((68, 2), np.float32)
-    lm[36:42] = [190, 150]
-    lm[42:48] = [300, 150]
-    lm[27:36] = [245, 200]
-    lm[48:68] = [245, 260]
     lm_path = str(tmp_path / "landmarks.npy")
-    np.save(lm_path, lm)
+    np.save(lm_path, portrait_landmarks())
 
     out_dir = str(tmp_path / "out")
     playground.main([

@@ -9,22 +9,13 @@ import importlib.util
 import json
 import os
 import sys
-from argparse import Namespace
 
 import numpy as np
 import pytest
-import torch
 
-from tests import reference_oracle as oracle
-
-oracle.install()
-from model.vtoonify import VToonify  # noqa: E402
-from model.bisenet.model import BiSeNet  # noqa: E402
-from model.encoder.encoders.psp_encoders import GradualStyleEncoder  # noqa: E402
+from tests.zoo import build_zoo, portrait_landmarks
 
 pytestmark = pytest.mark.e2e
-
-N_LATENT = 12
 
 
 def _load_serve():
@@ -39,31 +30,9 @@ def _load_serve():
 
 @pytest.fixture(scope="module")
 def zoo_root(tmp_path_factory):
-    """checkpoint_root in the exact layout Model expects
-    (reference checkpoint/README.md:4-35): faceparsing.pth + encoder.pt at
-    the root, style checkpoints + exstyle bank per style directory."""
-    root = tmp_path_factory.mktemp("serve_zoo")
-    torch.manual_seed(33)
-    style_dir = root / "vtoonify_d_arcane"  # style 'arcane1-d' → id 0
-    style_dir.mkdir()
-    vt = VToonify(in_size=32, out_size=128, channel_multiplier=1,
-                  num_res_layers=2, backbone="dualstylegan")
-    torch.save({"g_ema": vt.state_dict()}, str(style_dir / "vtoonify_s_d.pt"))
-    torch.save(BiSeNet(19).state_dict(), str(root / "faceparsing.pth"))
-    enc = GradualStyleEncoder(50, "ir_se",
-                              Namespace(input_nc=3, n_styles=N_LATENT))
-    torch.save(
-        {
-            "state_dict": {"encoder." + k: v
-                           for k, v in enc.state_dict().items()},
-            "latent_avg": torch.randn(N_LATENT, 512),
-        },
-        str(root / "encoder.pt"),
-    )
-    rng = np.random.RandomState(34)
-    bank = {"style0.png": rng.randn(1, N_LATENT, 512).astype(np.float32) * 0.3}
-    np.save(str(style_dir / "exstyle_code.npy"), bank, allow_pickle=True)
-    return root
+    # style 'arcane1-d' → id 0 (tests/zoo.py holds the layout)
+    return build_zoo(tmp_path_factory.mktemp("serve_zoo"),
+                     "vtoonify_d_arcane", torch_seed=33, bank_seed=34)
 
 
 def test_serve_endpoints(zoo_root, tmp_path):
@@ -76,13 +45,8 @@ def test_serve_endpoints(zoo_root, tmp_path):
     # synthetic 500x375 portrait + plausible landmarks (StaticLandmarker)
     rng = np.random.RandomState(5)
     img = rng.randint(0, 256, (375, 500, 3), np.uint8)
-    lm = np.zeros((68, 2), np.float32)
-    lm[36:42] = [190, 150]
-    lm[42:48] = [300, 150]
-    lm[27:36] = [245, 200]
-    lm[48:68] = [245, 260]
-
-    model = Model(checkpoint_root=str(zoo_root), landmarks=lm)
+    model = Model(checkpoint_root=str(zoo_root),
+                  landmarks=portrait_landmarks())
     server = serve.build_server(model, "127.0.0.1", 0,
                                 default_style="arcane1-d")
     serve.serve_forever_in_thread(server)
@@ -125,5 +89,18 @@ def test_serve_endpoints(zoo_root, tmp_path):
         r = conn.getresponse()
         r.read()
         assert r.status == 400
+        # non-numeric degree → 400, not a dropped connection
+        conn.request(
+            "POST", "/toonify?style_type=arcane1-d&style_degree=abc",
+            body=enc.tobytes())
+        r = conn.getresponse()
+        r.read()
+        assert r.status == 400
+        # registry style whose checkpoints aren't installed → 404
+        conn.request("POST", "/toonify?style_type=cartoon1",
+                     body=enc.tobytes())
+        r = conn.getresponse()
+        r.read()
+        assert r.status == 404
     finally:
         server.shutdown()

@@ -7,65 +7,31 @@ appears, the same command gates real parity vs reference output/*.jpg."""
 
 import os
 import shutil
-from argparse import Namespace
 
 import numpy as np
 import pytest
-import torch
 
-from tests import reference_oracle as oracle
-
-oracle.install()
-from model.vtoonify import VToonify  # noqa: E402
-from model.bisenet.model import BiSeNet  # noqa: E402
-from model.encoder.encoders.psp_encoders import GradualStyleEncoder  # noqa: E402
+from tests.zoo import build_zoo, portrait_landmarks
 
 pytestmark = pytest.mark.e2e
 
 REF_DATA = "/root/reference/data"
-N_LATENT = 12
 
 
 @pytest.fixture(scope="module")
 def release_zoo(tmp_path_factory):
-    """checkpoint_root shaped like the released zoo (checkpoint/README.md),
-    covering the two model paths the 077436/081680 cases need."""
-    root = tmp_path_factory.mktemp("release_zoo")
-    torch.manual_seed(44)
-    cartoon = root / "vtoonify_d_cartoon"
-    cartoon.mkdir()
-    vt = VToonify(in_size=32, out_size=128, channel_multiplier=1,
-                  num_res_layers=2, backbone="dualstylegan")
-    torch.save({"g_ema": vt.state_dict()}, str(cartoon / "vtoonify_s_d.pt"))
-    torch.save({"g_ema": vt.state_dict()},
-               str(cartoon / "vtoonify_s026_d0.5.pt"))
-    torch.save(BiSeNet(19).state_dict(), str(root / "faceparsing.pth"))
-    enc = GradualStyleEncoder(50, "ir_se",
-                              Namespace(input_nc=3, n_styles=N_LATENT))
-    torch.save(
-        {
-            "state_dict": {"encoder." + k: v
-                           for k, v in enc.state_dict().items()},
-            "latent_avg": torch.randn(N_LATENT, 512),
-        },
-        str(root / "encoder.pt"),
+    """checkpoint_root shaped like the released zoo (tests/zoo.py holds the
+    layout), covering the two model paths the 077436/081680 cases need."""
+    root = build_zoo(
+        tmp_path_factory.mktemp("release_zoo"), "vtoonify_d_cartoon",
+        torch_seed=44, bank_seed=45,
+        n_bank_styles=27,  # style_id 26 must exist
+        extra_ckpt_names=("vtoonify_s026_d0.5.pt",),
     )
-    rng = np.random.RandomState(45)
-    bank = {
-        f"style{i}.png": rng.randn(1, N_LATENT, 512).astype(np.float32) * 0.3
-        for i in range(27)  # style_id 26 must exist
-    }
-    np.save(str(cartoon / "exstyle_code.npy"), bank, allow_pickle=True)
-
     lm_root = root / "landmarks"
     lm_root.mkdir()
-    lm = np.zeros((68, 2), np.float32)
-    lm[36:42] = [190, 150]
-    lm[42:48] = [300, 150]
-    lm[27:36] = [245, 200]
-    lm[48:68] = [245, 260]
     for stem in ("077436", "081680"):
-        np.save(str(lm_root / f"{stem}.npy"), lm)
+        np.save(str(lm_root / f"{stem}.npy"), portrait_landmarks())
     return root
 
 

@@ -194,6 +194,8 @@ def run_case(case: Case, args, out_dir: str):
     golden = cv2.imread(golden_path)
     if ours is None:
         return None, f"no output produced at {ours_path}"
+    if golden is None:
+        return None, f"unreadable golden image: {golden_path}"
     if ours.shape != golden.shape:
         return None, f"shape {ours.shape} != golden {golden.shape}"
     return psnr(ours, golden), f"{ours.shape[1]}x{ours.shape[0]}"

@@ -57,5 +57,11 @@ def initialize(coordinator_address: Optional[str] = None,
         jax.distributed.initialize(coordinator_address=coordinator_address,
                                    num_processes=num_processes,
                                    process_id=process_id)
+    elif num_processes is not None or process_id is not None:
+        raise ValueError(
+            "multihost.initialize: num_processes/process_id were given "
+            "without a coordinator address — pass --coordinator host:port "
+            f"(or set {ENV_COORDINATOR}), or drop the explicit ranks to use "
+            "cluster auto-detection")
     else:
         jax.distributed.initialize()

@@ -11,8 +11,8 @@ paths); any frontend can wrap this class.
 from __future__ import annotations
 
 import os
-from dataclasses import dataclass, field
-from typing import Optional, Tuple
+from dataclasses import dataclass
+from typing import Optional
 
 import numpy as np
 
@@ -75,7 +75,7 @@ class Model:
 
     checkpoint_root: str = "./checkpoint"
     landmark_model_path: Optional[str] = None
-    landmarks: Optional[np.ndarray] = None
+    landmarks: Optional[object] = None  # (68,2) array, (N,68,2), or .npy path
     on_accelerator: bool = True
     dtype: object = None
 
@@ -138,14 +138,21 @@ class Model:
         """→ (cropped frame, aligned 256² face, instyle s_w or None, message)."""
         import cv2
 
+        frame = cv2.cvtColor(cv2.imread(image_path), cv2.COLOR_BGR2RGB)
+        return self.detect_and_align_frame(frame, padding)
+
+    def detect_and_align_frame(self, frame_rgb_u8: np.ndarray,
+                               padding=(200, 200, 200, 200)):
+        """In-memory variant of detect_and_align_image (RGB uint8 HWC) —
+        the path for callers that already decoded the image (e.g. a server
+        receiving upload bytes)."""
         from vtoonify_tpu.pipeline import crop as crop_mod
 
-        frame = cv2.cvtColor(cv2.imread(image_path), cv2.COLOR_BGR2RGB)
-        params = crop_mod.get_video_crop_parameter(frame, self._landmarker,
-                                                   padding)
+        params = crop_mod.get_video_crop_parameter(frame_rgb_u8,
+                                                   self._landmarker, padding)
         if params is None:
             return None, None, "Error: no face detected"
-        frame = crop_mod.preprocess_frame(frame, params, True)
+        frame = crop_mod.preprocess_frame(frame_rgb_u8, params, True)
         aligned = crop_mod.align_face(frame, self._landmarker)
         return frame, aligned, "Success"
 
