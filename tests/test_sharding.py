@@ -257,8 +257,16 @@ def test_dp_tp_train_t_step():
 
 def test_dp_tp_inference_pipeline_e2e():
     """End-to-end ToonifyPipeline batch on a dp4×tp2 mesh: output matches the
-    unsharded single-device pipeline bit-for-bit (frame-axis DP + channel TP
-    on the wide convs; GSPMD inserts all collectives)."""
+    unsharded single-device pipeline to ≤1 uint8 LSB on a vanishing fraction
+    of pixels (frame-axis DP + channel TP on the wide convs; GSPMD inserts
+    all collectives).
+
+    Why not bit-for-bit: under channel TP each wide conv is two half-channel
+    convs combined by a psum, whereas the unsharded graph accumulates the
+    full channel sum inside one conv — float addition is not associative, so
+    a value landing exactly on a 0.5 quantization boundary can round to a
+    neighbouring uint8 (observed: 1 pixel in 196 608). DP alone stays
+    bit-exact (test_dp_inference_frame_sharding)."""
     from vtoonify_tpu.pipeline.toonify import ToonifyPipeline
 
     key = jax.random.PRNGKey(40)
@@ -279,7 +287,11 @@ def test_dp_tp_inference_pipeline_e2e():
     out = pipe_sh.process_batch(frames, s_w, 0.5)
     ref = pipe_ref.process_batch(frames, s_w, 0.5)
     assert out.shape == (4, 128, 128, 3)
-    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+    diff = np.abs(np.asarray(out).astype(np.int32)
+                  - np.asarray(ref).astype(np.int32))
+    assert diff.max() <= 1, f"TP divergence beyond the rounding LSB: {diff.max()}"
+    frac = float((diff > 0).mean())
+    assert frac <= 1e-3, f"too many quantization-edge pixels: {frac:.2e}"
 
 
 def test_hlo_collectives_train_d():
