@@ -106,6 +106,41 @@ def test_validate_drivers_run(tmp_path):
         assert np.isfinite(r["epe"])
 
 
+@pytest.mark.slow
+def test_raft_eval_cli(tmp_path):
+    """`vtoonify-raft-eval` e2e: a torch RAFT checkpoint (DataParallel-style
+    'module.' prefix, like the released raft-things.pth) through the full
+    Sintel validation harness — reference model/raft/evaluate.py __main__."""
+    import torch
+
+    from tests import reference_oracle as oracle
+    from vtoonify_tpu.models.raft_eval import main as raft_eval_main
+
+    oracle.install()
+    from argparse import Namespace
+
+    from model.raft.core.raft import RAFT  # noqa: E402
+
+    torch.manual_seed(7)
+    ref = RAFT(Namespace(small=False, mixed_precision=False,
+                         alternate_corr=False)).eval()
+    ckpt = tmp_path / "raft-tiny.pth"
+    torch.save({f"module.{k}": v for k, v in ref.state_dict().items()},
+               str(ckpt))
+    _build_mini_dataset(str(tmp_path / "Sintel"), "sintel")
+
+    metrics = raft_eval_main([
+        "--model", str(ckpt), "--dataset", "sintel",
+        "--data_root", str(tmp_path), "--iters", "2", "--alternate_corr",
+    ])
+    assert set(metrics) == {"epe", "1px", "3px", "5px"}
+    assert np.isfinite(metrics["epe"])
+
+    with pytest.raises(SystemExit):
+        raft_eval_main(["--model", str(ckpt), "--dataset", "sintel",
+                        "--small"])
+
+
 # --- flow color coding (models/raft_viz.py vs the vendored visualizer) ------
 
 

@@ -76,6 +76,10 @@ def build_parser():
     p.add_argument("--num_processes", type=int, default=None)
     p.add_argument("--process_id", type=int, default=None)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--local_rank", type=int, default=0,
+                   help="accepted for reference launch-script compatibility "
+                        "(train_vtoonify_d.py:38); ignored — all local chips "
+                        "are used automatically, pods use --multihost")
     p.add_argument("--profile", type=int, default=0, metavar="N",
                    help="capture an XLA device trace of N steps (written to "
                         "log/NAME/trace, viewable in TensorBoard/Perfetto)")

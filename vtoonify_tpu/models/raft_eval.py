@@ -46,3 +46,65 @@ def evaluate_pairs(params, pairs, iters: int = 24,
     return {
         k: float(np.mean([r[k] for r in results])) for k in results[0]
     } if results else {}
+
+
+def main(argv=None):
+    """`vtoonify-raft-eval` — the reference's evaluate.py __main__
+    (model/raft/evaluate.py:168-196): load a torch RAFT checkpoint, run the
+    Sintel-train / KITTI-train validation harness, print the EPE metrics."""
+    import argparse
+    import contextlib
+    import json
+    import os
+
+    p = argparse.ArgumentParser(
+        description="Evaluate a RAFT checkpoint (Sintel/KITTI EPE)")
+    p.add_argument("--model", required=True,
+                   help="torch RAFT checkpoint (e.g. raft-things.pth)")
+    p.add_argument("--dataset", required=True, choices=["sintel", "kitti"])
+    p.add_argument("--data_root", default="datasets",
+                   help="directory holding Sintel/ or KITTI/")
+    p.add_argument("--dstype", default="clean", choices=["clean", "final"],
+                   help="Sintel rendering pass")
+    p.add_argument("--iters", type=int, default=None,
+                   help="refinement iterations (default: the reference's "
+                        "32 for sintel, 24 for kitti)")
+    p.add_argument("--small", action="store_true",
+                   help="(reference flag) small architecture — unsupported")
+    p.add_argument("--mixed_precision", action="store_true",
+                   help="bf16 matmul/conv compute — the TPU analog of the "
+                        "reference's torch.cuda.amp autocast")
+    p.add_argument("--alternate_corr", action="store_true",
+                   help="memory-efficient on-the-fly correlation "
+                        "(alt_cuda_corr equivalent; exact)")
+    args = p.parse_args(argv)
+    if args.small:
+        raise SystemExit(
+            "--small: the small RAFT architecture is not supported; "
+            "VToonify uses the full model (raft-things.pth)")
+
+    import torch
+
+    import jax
+
+    from vtoonify_tpu.convert.torch_import import convert_raft
+    from vtoonify_tpu.models.raft_data import validate_kitti, validate_sintel
+
+    sd = {k.replace("module.", "", 1): v
+          for k, v in torch.load(args.model, map_location="cpu").items()}
+    params = convert_raft(sd)
+    cfg = RAFTConfig(corr_impl="alt" if args.alternate_corr else "allpairs")
+
+    ctx = (jax.default_matmul_precision("bfloat16")
+           if args.mixed_precision else contextlib.nullcontext())
+    with ctx:
+        if args.dataset == "sintel":
+            metrics = validate_sintel(
+                params, os.path.join(args.data_root, "Sintel"),
+                dstype=args.dstype, iters=args.iters or 32, cfg=cfg)
+        else:
+            metrics = validate_kitti(
+                params, os.path.join(args.data_root, "KITTI"),
+                iters=args.iters or 24, cfg=cfg)
+    print(json.dumps({"dataset": args.dataset, **metrics}))
+    return metrics
