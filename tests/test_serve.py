@@ -104,3 +104,42 @@ def test_serve_endpoints(zoo_root, tmp_path):
         assert r.status == 404
     finally:
         server.shutdown()
+
+
+def test_model_detect_and_align_video(zoo_root, tmp_path):
+    """Model.detect_and_align_video (reference vtoonify_model.py:156):
+    first-frame alignment for style-code extraction, plus the reference's
+    empty-file / unreadable-video error messages."""
+    import cv2
+
+    from vtoonify_tpu.pipeline.model_api import Model
+
+    model = Model(checkpoint_root=str(zoo_root),
+                  landmarks=portrait_landmarks())
+
+    _, _, msg = model.detect_and_align_video(None)
+    assert msg == "Error: fail to load empty file."
+    _, _, msg = model.detect_and_align_video(str(tmp_path / "missing.mp4"))
+    assert msg == "Error: fail to load the video."
+
+    rng = np.random.RandomState(11)
+    frames = rng.randint(0, 256, (3, 375, 500, 3), np.uint8)
+    vid = str(tmp_path / "clip.mp4")
+    w = cv2.VideoWriter(vid, cv2.VideoWriter_fourcc(*"mp4v"), 10, (500, 375))
+    assert w.isOpened()
+    for f in frames:
+        w.write(cv2.cvtColor(f, cv2.COLOR_RGB2BGR))
+    w.release()
+
+    frame, aligned, msg = model.detect_and_align_video(vid)
+    assert msg == "Success"
+    # identical to aligning the (codec-decoded) first frame directly
+    cap = cv2.VideoCapture(vid)
+    ok, first_bgr = cap.read()
+    cap.release()
+    assert ok
+    f2, a2, m2 = model.detect_and_align_frame(
+        cv2.cvtColor(first_bgr, cv2.COLOR_BGR2RGB))
+    assert m2 == "Success"
+    np.testing.assert_array_equal(frame, f2)
+    np.testing.assert_array_equal(aligned, a2)

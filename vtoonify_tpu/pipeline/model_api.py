@@ -135,10 +135,32 @@ class Model:
 
     def detect_and_align_image(self, image_path: str,
                                padding=(200, 200, 200, 200)):
-        """→ (cropped frame, aligned 256² face, instyle s_w or None, message)."""
+        """→ (cropped frame, aligned 256² face, message) — reference
+        vtoonify_model.py:146 detect_and_align_image."""
         import cv2
 
-        frame = cv2.cvtColor(cv2.imread(image_path), cv2.COLOR_BGR2RGB)
+        if image_path is None:
+            return None, None, "Error: fail to load empty file."
+        bgr = cv2.imread(image_path)
+        if bgr is None:
+            return None, None, "Error: fail to load the image."
+        frame = cv2.cvtColor(bgr, cv2.COLOR_BGR2RGB)
+        return self.detect_and_align_frame(frame, padding)
+
+    def detect_and_align_video(self, video_path: str,
+                               padding=(200, 200, 200, 200)):
+        """Align the video's FIRST frame (for style-code extraction) —
+        reference vtoonify_model.py:156 detect_and_align_video."""
+        import cv2
+
+        if video_path is None:
+            return None, None, "Error: fail to load empty file."
+        cap = cv2.VideoCapture(video_path)
+        ok, bgr = cap.read()
+        cap.release()
+        if not ok or bgr is None:
+            return None, None, "Error: fail to load the video."
+        frame = cv2.cvtColor(bgr, cv2.COLOR_BGR2RGB)
         return self.detect_and_align_frame(frame, padding)
 
     def detect_and_align_frame(self, frame_rgb_u8: np.ndarray,
