@@ -214,3 +214,70 @@ def test_demo_directory(tmp_path):
     assert len(out) == 2
     stack = np.asarray(Image.open(out[0]))
     assert stack.shape == (88, 36, 3)  # [frame; flow-viz] vertical stack
+
+
+def test_forward_interpolate_parity():
+    """forward_interpolate vs the reference's scipy implementation
+    (model/raft/core/utils/utils.py:26-54)."""
+    import torch
+
+    from tests import reference_oracle as oracle
+    from vtoonify_tpu.models.raft_data import forward_interpolate
+
+    oracle.install()
+    from model.raft.core.utils.utils import (  # noqa: E402
+        forward_interpolate as ref_fi,
+    )
+
+    rng = np.random.RandomState(3)
+    flow = rng.randn(12, 16, 2).astype(np.float32) * 3.0
+    ref = ref_fi(torch.from_numpy(flow.transpose(2, 0, 1)))
+    got = forward_interpolate(flow)
+    np.testing.assert_allclose(got, np.transpose(np.asarray(ref), (1, 2, 0)),
+                               atol=1e-6)
+
+
+@pytest.mark.slow
+def test_submission_writers(tmp_path):
+    """create_sintel_submission (warm start: flow_init threading through
+    raft_apply) + create_kitti_submission produce readable leaderboard
+    layouts — reference evaluate.py:21-71."""
+    import cv2
+
+    from vtoonify_tpu.models.raft import init_raft
+    from vtoonify_tpu.models.raft_data import (
+        create_kitti_submission,
+        create_sintel_submission,
+    )
+
+    rng = np.random.RandomState(41)
+    sintel = tmp_path / "Sintel"
+    for scene in ("alley_9", "cave_0"):
+        d = sintel / "test" / "clean" / scene
+        os.makedirs(str(d))
+        for i in (1, 2, 3):
+            cv2.imwrite(str(d / f"frame_{i:04d}.png"),
+                        rng.randint(0, 255, (40, 56, 3), np.uint8))
+    kitti = tmp_path / "KITTI" / "testing" / "image_2"
+    os.makedirs(str(kitti))
+    for i in ("000000",):
+        for t in ("10", "11"):
+            cv2.imwrite(str(kitti / f"{i}_{t}.png"),
+                        rng.randint(0, 255, (40, 56, 3), np.uint8))
+
+    params = init_raft(jax.random.PRNGKey(2))
+    s_out = create_sintel_submission(params, str(sintel),
+                                     str(tmp_path / "sintel_sub"),
+                                     iters=2, warm_start=True,
+                                     dstypes=("clean",))
+    assert len(s_out) == 4  # 2 scenes x 2 pairs
+    assert s_out[0].endswith(os.path.join("clean", "alley_9",
+                                          "frame0001.flo"))
+    flo = read_flo(s_out[0])
+    assert flo.shape == (40, 56, 2) and np.isfinite(flo).all()
+
+    k_out = create_kitti_submission(params, str(tmp_path / "KITTI"),
+                                    str(tmp_path / "kitti_sub"), iters=2)
+    assert len(k_out) == 1 and k_out[0].endswith("000000_10.png")
+    flow, valid = read_kitti_flow(k_out[0])
+    assert flow.shape == (40, 56, 2) and valid.all()

@@ -398,12 +398,14 @@ def upsample_flow_convex(flow, mask):
 
 def raft_apply(params, image1, image2, cfg: RAFTConfig = RAFTConfig(),
                iters: int = 12, test_mode: bool = True,
-               train_bn: bool = False):
+               train_bn: bool = False, flow_init=None):
     """image1/image2: (B, H, W, 3) in [0, 255]. Returns (flow_lr, flow_up) in
     test mode, else the list of per-iteration upsampled flows — and with
     train_bn (the reference's 'chairs' stage trains the context encoder's
     BatchNorm, model/raft/train.py:146-147) the non-test return is
-    (flows_up, params_with_updated_bn_buffers)."""
+    (flows_up, params_with_updated_bn_buffers). flow_init: optional
+    (B, H/8, W/8, 2) warm-start flow (reference raft.py:124-125, used by the
+    Sintel submission's per-sequence warm start)."""
     x1 = 2 * (image1 / 255.0) - 1.0
     x2 = 2 * (image2 / 255.0) - 1.0
 
@@ -424,6 +426,8 @@ def raft_apply(params, image1, image2, cfg: RAFTConfig = RAFTConfig(),
     b, h, w, _ = fmap1.shape
     coords0 = _coords_grid(b, h, w)
     coords1 = _coords_grid(b, h, w)
+    if flow_init is not None:
+        coords1 = coords1 + flow_init
 
     flows_up = []
     for _ in range(iters):

@@ -201,3 +201,112 @@ def validate_sintel(params, root: str, dstype: str = "clean",
 def validate_kitti(params, root: str, iters: int = 24, cfg=None):
     """KITTI-train EPE/valid-masked (reference evaluate.py validate_kitti)."""
     return _validate(params, iter_kitti(root), iters, cfg, "kitti")
+
+
+# --- leaderboard submissions (reference evaluate.py:21-71) -------------------
+
+
+def forward_interpolate(flow: np.ndarray) -> np.ndarray:
+    """Forward-warp a (H, W, 2) flow field onto the regular grid
+    (nearest-neighbor scattered interpolation, zero fill) — the reference's
+    warm-start propagation (model/raft/core/utils/utils.py:26-54)."""
+    from scipy import interpolate
+
+    flow = np.asarray(flow, np.float32)
+    dx, dy = flow[..., 0], flow[..., 1]
+    ht, wd = dx.shape
+    x0, y0 = np.meshgrid(np.arange(wd), np.arange(ht))
+    x1 = (x0 + dx).reshape(-1)
+    y1 = (y0 + dy).reshape(-1)
+    dxf, dyf = dx.reshape(-1), dy.reshape(-1)
+    valid = (x1 > 0) & (x1 < wd) & (y1 > 0) & (y1 < ht)
+    x1, y1, dxf, dyf = x1[valid], y1[valid], dxf[valid], dyf[valid]
+    flow_x = interpolate.griddata((x1, y1), dxf, (x0, y0), method="nearest",
+                                  fill_value=0)
+    flow_y = interpolate.griddata((x1, y1), dyf, (x0, y0), method="nearest",
+                                  fill_value=0)
+    return np.stack([flow_x, flow_y], axis=-1).astype(np.float32)
+
+
+def iter_sintel_test(root: str, dstype: str = "clean"):
+    """Yield (im1, im2, scene, frame_idx) over the MPI-Sintel TEST layout
+    <root>/test/<dstype>/<scene>/frame_NNNN.png (no ground truth)."""
+    img_root = os.path.join(root, "test", dstype)
+    for scene in sorted(os.listdir(img_root)):
+        frames = sorted(os.listdir(os.path.join(img_root, scene)))
+        for idx, (a, b) in enumerate(zip(frames[:-1], frames[1:])):
+            yield (
+                _read_image(os.path.join(img_root, scene, a)),
+                _read_image(os.path.join(img_root, scene, b)),
+                scene,
+                idx,
+            )
+
+
+def iter_kitti_test(root: str):
+    """Yield (im1, im2, file_id) over the KITTI-2015 TESTING layout
+    <root>/testing/image_2/NNNNNN_1{0,1}.png (no ground truth)."""
+    img_root = os.path.join(root, "testing", "image_2")
+    ids = sorted({f[:6] for f in os.listdir(img_root)})
+    for i in ids:
+        yield (
+            _read_image(os.path.join(img_root, f"{i}_10.png")),
+            _read_image(os.path.join(img_root, f"{i}_11.png")),
+            f"{i}_10.png",
+        )
+
+
+def create_sintel_submission(params, root: str, output_path: str,
+                             iters: int = 32, warm_start: bool = False,
+                             cfg=None, dstypes=("clean", "final")):
+    """Write .flo predictions in the Sintel leaderboard layout
+    (reference evaluate.py:21-50 create_sintel_submission). With warm_start,
+    each sequence's low-res flow is forward-interpolated into the next
+    frame's flow_init, resetting at scene boundaries."""
+    from vtoonify_tpu.models.raft import RAFTConfig, raft_apply
+
+    cfg = cfg or RAFTConfig()
+    written = []
+    for dstype in dstypes:
+        flow_prev, scene_prev = None, None
+        for im1, im2, scene, idx in iter_sintel_test(root, dstype):
+            if scene != scene_prev:
+                flow_prev = None
+            padder = InputPadder(im1.shape, mode="sintel")
+            x1, x2 = padder.pad(jnp.asarray(im1, jnp.float32)[None],
+                                jnp.asarray(im2, jnp.float32)[None])
+            flow_lr, flow_up = raft_apply(
+                params, x1, x2, cfg, iters=iters,
+                flow_init=(None if flow_prev is None
+                           else jnp.asarray(flow_prev)[None]))
+            flow = np.asarray(padder.unpad(flow_up)[0])
+            if warm_start:
+                flow_prev = forward_interpolate(np.asarray(flow_lr[0]))
+            out_dir = os.path.join(output_path, dstype, scene)
+            os.makedirs(out_dir, exist_ok=True)
+            out_file = os.path.join(out_dir, f"frame{idx + 1:04d}.flo")
+            write_flo(out_file, flow)
+            written.append(out_file)
+            scene_prev = scene
+    return written
+
+
+def create_kitti_submission(params, root: str, output_path: str,
+                            iters: int = 24, cfg=None):
+    """Write KITTI-2015 leaderboard 16-bit flow pngs
+    (reference evaluate.py:53-71 create_kitti_submission)."""
+    from vtoonify_tpu.models.raft import RAFTConfig, raft_apply
+
+    cfg = cfg or RAFTConfig()
+    os.makedirs(output_path, exist_ok=True)
+    written = []
+    for im1, im2, file_id in iter_kitti_test(root):
+        padder = InputPadder(im1.shape, mode="kitti")
+        x1, x2 = padder.pad(jnp.asarray(im1, jnp.float32)[None],
+                            jnp.asarray(im2, jnp.float32)[None])
+        _, flow_up = raft_apply(params, x1, x2, cfg, iters=iters)
+        flow = np.asarray(padder.unpad(flow_up)[0])
+        out_file = os.path.join(output_path, file_id)
+        write_kitti_flow(out_file, flow)
+        written.append(out_file)
+    return written

@@ -69,6 +69,13 @@ def main(argv=None):
     p.add_argument("--iters", type=int, default=None,
                    help="refinement iterations (default: the reference's "
                         "32 for sintel, 24 for kitti)")
+    p.add_argument("--submission", type=str, default=None, metavar="DIR",
+                   help="write a leaderboard submission for --dataset into "
+                        "DIR instead of validating (reference evaluate.py "
+                        "create_{sintel,kitti}_submission)")
+    p.add_argument("--warm_start", action="store_true",
+                   help="Sintel submission: forward-interpolate each "
+                        "sequence's low-res flow into the next frame's init")
     p.add_argument("--small", action="store_true",
                    help="(reference flag) small architecture — unsupported")
     p.add_argument("--mixed_precision", action="store_true",
@@ -98,6 +105,25 @@ def main(argv=None):
     ctx = (jax.default_matmul_precision("bfloat16")
            if args.mixed_precision else contextlib.nullcontext())
     with ctx:
+        if args.submission is not None:
+            from vtoonify_tpu.models.raft_data import (
+                create_kitti_submission,
+                create_sintel_submission,
+            )
+
+            if args.dataset == "sintel":
+                written = create_sintel_submission(
+                    params, os.path.join(args.data_root, "Sintel"),
+                    args.submission, iters=args.iters or 32,
+                    warm_start=args.warm_start, cfg=cfg)
+            else:
+                written = create_kitti_submission(
+                    params, os.path.join(args.data_root, "KITTI"),
+                    args.submission, iters=args.iters or 24, cfg=cfg)
+            print(json.dumps({"dataset": args.dataset,
+                              "submission": args.submission,
+                              "files": len(written)}))
+            return {"files": len(written)}
         if args.dataset == "sintel":
             metrics = validate_sintel(
                 params, os.path.join(args.data_root, "Sintel"),
