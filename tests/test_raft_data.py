@@ -281,3 +281,30 @@ def test_submission_writers(tmp_path):
     assert len(k_out) == 1 and k_out[0].endswith("000000_10.png")
     flow, valid = read_kitti_flow(k_out[0])
     assert flow.shape == (40, 56, 2) and valid.all()
+
+
+@pytest.mark.slow
+def test_validate_chairs(tmp_path):
+    """validate_chairs over a mini FlyingChairs layout with a split file
+    (reference evaluate.py:74-90 + datasets.FlyingChairs split handling)."""
+    import cv2
+
+    from vtoonify_tpu.models.raft import init_raft
+    from vtoonify_tpu.models.raft_data import validate_chairs
+
+    root = tmp_path / "FlyingChairs_release" / "data"
+    os.makedirs(str(root))
+    rng = np.random.RandomState(17)
+    for i in (1, 2, 3):
+        for t in (1, 2):
+            cv2.imwrite(str(root / f"{i:05d}_img{t}.ppm"),
+                        rng.randint(0, 255, (40, 56, 3), np.uint8))
+        write_flo(str(root / f"{i:05d}_flow.flo"),
+                  np.ones((40, 56, 2), np.float32))
+    split = tmp_path / "chairs_split.txt"
+    split.write_text("1\n2\n2\n")  # 1=train, 2=validation → 2 val pairs
+
+    params = init_raft(jax.random.PRNGKey(4))
+    r = validate_chairs(params, str(root), split_file=str(split), iters=2)
+    assert set(r) == {"epe", "1px", "3px", "5px"}
+    assert np.isfinite(r["epe"])

@@ -310,3 +310,18 @@ def create_kitti_submission(params, root: str, output_path: str,
         write_kitti_flow(out_file, flow)
         written.append(out_file)
     return written
+
+
+def validate_chairs(params, root: str, split_file=None, iters: int = 24,
+                    cfg=None):
+    """FlyingChairs validation-split EPE (reference evaluate.py:74-90
+    validate_chairs; chairs frames are already /8 so the padder is a
+    no-op)."""
+    from vtoonify_tpu.models.raft_train import index_flying_chairs
+
+    def pairs():
+        for im1, im2, flo, _ in index_flying_chairs(root, "validation",
+                                                    split_file):
+            yield _read_image(im1), _read_image(im2), read_flo(flo), None
+
+    return _validate(params, pairs(), iters, cfg, "sintel")

@@ -61,7 +61,8 @@ def main(argv=None):
         description="Evaluate a RAFT checkpoint (Sintel/KITTI EPE)")
     p.add_argument("--model", required=True,
                    help="torch RAFT checkpoint (e.g. raft-things.pth)")
-    p.add_argument("--dataset", required=True, choices=["sintel", "kitti"])
+    p.add_argument("--dataset", required=True,
+                   choices=["chairs", "sintel", "kitti"])
     p.add_argument("--data_root", default="datasets",
                    help="directory holding Sintel/ or KITTI/")
     p.add_argument("--dstype", default="clean", choices=["clean", "final"],
@@ -111,6 +112,9 @@ def main(argv=None):
                 create_sintel_submission,
             )
 
+            if args.dataset == "chairs":
+                raise SystemExit(
+                    "--submission: chairs has no leaderboard test split")
             if args.dataset == "sintel":
                 written = create_sintel_submission(
                     params, os.path.join(args.data_root, "Sintel"),
@@ -124,7 +128,16 @@ def main(argv=None):
                               "submission": args.submission,
                               "files": len(written)}))
             return {"files": len(written)}
-        if args.dataset == "sintel":
+        if args.dataset == "chairs":
+            from vtoonify_tpu.models.raft_data import validate_chairs
+
+            split = os.path.join(args.data_root, "chairs_split.txt")
+            metrics = validate_chairs(
+                params,
+                os.path.join(args.data_root, "FlyingChairs_release/data"),
+                split_file=split if os.path.exists(split) else None,
+                iters=args.iters or 24, cfg=cfg)
+        elif args.dataset == "sintel":
             metrics = validate_sintel(
                 params, os.path.join(args.data_root, "Sintel"),
                 dstype=args.dstype, iters=args.iters or 32, cfg=cfg)

@@ -706,7 +706,14 @@ def main(argv=None):
             ckpt_util.save_pytree(
                 f"checkpoints/{step + 1}_{args.name}.ckpt", state.params)
             for val in args.validation:
-                if val == "sintel" and "sintel" in roots:
+                if val == "chairs" and "chairs" in roots:
+                    from vtoonify_tpu.models.raft_data import validate_chairs
+
+                    print(validate_chairs(
+                        state.params, roots["chairs"],
+                        split_file=roots.get("chairs_split"),
+                        iters=args.iters, cfg=cfg))
+                elif val == "sintel" and "sintel" in roots:
                     print(validate_sintel(state.params, roots["sintel"],
                                           iters=args.iters, cfg=cfg))
                 elif val == "kitti" and "kitti" in roots:
