@@ -68,8 +68,8 @@ class Model:
 
     Usage:
         m = Model(checkpoint_root="./checkpoint")
-        aligned, instyle, msg = m.detect_and_align_image("face.jpg")
-        out = m.image_toonify(aligned, instyle, style_degree=0.5,
+        frame, aligned, msg = m.detect_and_align_image("face.jpg")
+        out = m.image_toonify(frame, aligned, style_degree=0.5,
                               style_type="cartoon1")
     """
 
