@@ -322,3 +322,38 @@ def test_raft_train_cli(tmp_path, monkeypatch, capsys):
     assert os.path.exists(tmp_path / "checkpoints" / "mini.ckpt")
     out = capsys.readouterr().out
     assert "Training with 2 image pairs" in out
+
+
+def test_raft_train_cli_stage_chaining(tmp_path, monkeypatch, capsys):
+    """train_standard.sh-style stage chaining: restore the trainer's own
+    .ckpt for the next stage (plus --mixed_precision accepted), and
+    --validation chairs runs the validate_chairs driver."""
+    import cv2
+
+    from vtoonify_tpu.models.raft_data import write_flo
+    from vtoonify_tpu.models.raft_train import main
+
+    rng = np.random.RandomState(87)
+    chairs = tmp_path / "data" / "FlyingChairs_release" / "data"
+    os.makedirs(str(chairs))
+    for i in (1, 2):
+        for t in (1, 2):
+            cv2.imwrite(str(chairs / f"{i:05d}_img{t}.ppm"),
+                        rng.randint(0, 255, (40, 56, 3), np.uint8))
+        write_flo(str(chairs / f"{i:05d}_flow.flo"),
+                  rng.randn(40, 56, 2).astype(np.float32))
+    (tmp_path / "data" / "chairs_split.txt").write_text("1\n2\n")
+
+    monkeypatch.chdir(tmp_path)
+    common = ["--num_steps", "1", "--batch_size", "1",
+              "--image_size", "32", "48", "--iters", "2",
+              "--data_root", str(tmp_path / "data")]
+    main(["--stage", "chairs", "--name", "stage1",
+          "--validation", "chairs", "--val_freq", "1"] + common)
+    ckpt = tmp_path / "checkpoints" / "stage1.ckpt"
+    assert os.path.exists(str(ckpt))
+    main(["--stage", "chairs", "--name", "stage2", "--mixed_precision",
+          "--restore_ckpt", str(ckpt)] + common)
+    assert os.path.exists(str(tmp_path / "checkpoints" / "stage2.ckpt"))
+    out = capsys.readouterr().out
+    assert "epe" in out  # validate_chairs printed its metric dict

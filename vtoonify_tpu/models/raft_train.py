@@ -605,7 +605,14 @@ def main(argv=None):
     p.add_argument("--stage", required=True,
                    choices=["chairs", "things", "sintel", "kitti"])
     p.add_argument("--restore_ckpt", default=None,
-                   help="torch RAFT checkpoint to start from")
+                   help="checkpoint to start from: a torch RAFT .pth/.pt "
+                        "(converted on load) or a .ckpt saved by this "
+                        "trainer — so the reference's train_standard.sh "
+                        "stage chaining works with either format")
+    p.add_argument("--mixed_precision", action="store_true",
+                   help="bf16 matmul/conv compute with f32 storage — the "
+                        "TPU analog of the reference's autocast (train.py); "
+                        "no loss scaler needed with f32 master values")
     p.add_argument("--validation", type=str, nargs="+", default=[])
     p.add_argument("--lr", type=float, default=2e-5)
     p.add_argument("--num_steps", type=int, default=100000)
@@ -637,6 +644,8 @@ def main(argv=None):
     from vtoonify_tpu.utils.cache import enable_compilation_cache
 
     enable_compilation_cache()
+    if args.mixed_precision:
+        jax.config.update("jax_default_matmul_precision", "bfloat16")
 
     from vtoonify_tpu.models.raft import init_raft
     from vtoonify_tpu.models.raft_data import validate_kitti, validate_sintel
@@ -651,7 +660,12 @@ def main(argv=None):
                            iters=args.iters, add_noise=args.add_noise,
                            train_bn=not freeze_bn)
 
-    if args.restore_ckpt:
+    if args.restore_ckpt and args.restore_ckpt.endswith(".ckpt"):
+        # this trainer's own Orbax pytree (stage chaining à la
+        # train_standard.sh: chairs → things → sintel → kitti)
+        params = ckpt_util.load_pytree(
+            args.restore_ckpt, target=init_raft(jax.random.PRNGKey(0)))
+    elif args.restore_ckpt:
         import torch
 
         from vtoonify_tpu.convert.torch_import import convert_raft
