@@ -78,6 +78,9 @@ _HEAVY_TESTS = {
     "test_pipeline_packed_output_end_to_end",
     "test_generator_packed_stages_match_unpacked",
     "test_lookup_corr_alt_matches_allpairs",
+    # added after the re-tier: chains two raft-train CLI runs (two full
+    # train-step compiles) + a validate_chairs pass — minutes, not quick.
+    "test_raft_train_cli_stage_chaining",
 }
 
 
