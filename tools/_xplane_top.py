@@ -1,5 +1,5 @@
 """Parse a jax device trace (xplane.pb) and print top ops by device self-time.
-Usage: python _xplane_top.py /tmp/jax-trace-step [N]"""
+Usage: python tools/_xplane_top.py /tmp/jax-trace-step [N]"""
 import glob, sys
 from collections import defaultdict
 

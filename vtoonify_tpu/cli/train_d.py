@@ -354,7 +354,7 @@ def main(argv=None):
 
     # params enter as jit ARGUMENTS — a closure would inline the full frozen
     # VToonify-D + pSp trees as HLO constants (a ~GB remote-compile payload
-    # the TPU relay rejects with 413; see _drift_check.py)
+    # the TPU relay rejects with 413; see tools/_drift_check.py)
     synth_for_log = functools.partial(
         jax.jit(_synth_for_log), frozen, parsing_sh, psp_params, latent_avg,
         directions)

@@ -186,7 +186,7 @@ class TrainDConfig(NamedTuple):
     # synthesis (StyleGAN/DualStyleGAN/BiSeNet forwards + augmentation).
     # None → follow compute_dtype; "float32" forces the old f32 synthesis.
     # bf16 synthesis shifts targets by ≲1–2 uint8 LSB (the same bound the
-    # bf16 inference graph measures vs f32, _drift_check.py) and roughly
+    # bf16 inference graph measures vs f32, tools/_drift_check.py) and roughly
     # halves the synthesis+augment bandwidth.
 
 
