@@ -16,7 +16,8 @@ Env knobs: TRAIN_BENCH_STAGE (both|pretrain|full), TRAIN_BENCH_BATCH_PRE (8),
 TRAIN_BENCH_BATCH_FULL (2), TRAIN_BENCH_BF16 (0; 1 = bfloat16 forwards with
 f32 master weights — the --bf16 trainer flag), TRAIN_BENCH_SYNTH_FP32 (0;
 1 = keep data synthesis f32, the --synth_fp32 flag), TRAIN_BENCH_REMAT (1;
-0 = no rematerialization of the G forwards/LPIPS), TRAIN_BENCH_ITERS (4),
+0 = no rematerialization of the G forwards/LPIPS), TRAIN_BENCH_REMAT_SCOPE
+(all|g|lpips — the remat-policy sweep), TRAIN_BENCH_ITERS (4),
 TRAIN_BENCH_MFU (0; 1 = XLA cost analysis of each compiled step — FLOPs/iter
 and achieved TFLOP/s vs the 197 TFLOP/s bf16 v5e peak).
 
@@ -137,6 +138,7 @@ def bench_full(batch, n_iters, compute_dtype):
                      if os.environ.get("TRAIN_BENCH_SYNTH_FP32", "0") == "1"
                      else None),
         remat=os.environ.get("TRAIN_BENCH_REMAT", "1") == "1",
+        remat_scope=os.environ.get("TRAIN_BENCH_REMAT_SCOPE", "all"),
     )
 
     _, frozen = split_trainable(vt_params, pretrain=False)

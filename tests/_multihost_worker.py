@@ -8,6 +8,8 @@ host barrier. Prints one machine-checkable line; the test asserts both ranks
 print identical, numerically-correct values.
 """
 
+import os
+
 import numpy as np
 
 
@@ -30,7 +32,11 @@ def main():
     nproc = jax.process_count()
     nglobal = jax.device_count()
 
-    mesh = make_mesh()  # dp over all 4 global devices
+    # tp=2 mode (VTOONIFY_TEST_TP=1): 2 procs x 4 local devices, mesh
+    # dp4 x tp2 — tp pairs stay intra-process, dp spans the process
+    # boundary (the realistic pod layout: TP over ICI, DP across hosts).
+    tp = 2 if os.environ.get("VTOONIFY_TEST_TP") == "1" else 1
+    mesh = make_mesh(tp=tp)  # dp over all global devices
 
     # deterministic global problem, identical on both ranks
     full_x = np.random.RandomState(0).randn(8, 16).astype(np.float32)
@@ -40,7 +46,9 @@ def main():
     rows = 8 // nproc
     x = shard_process_local_batch(full_x[pid * rows:(pid + 1) * rows], mesh)
     y = shard_process_local_batch(full_y[pid * rows:(pid + 1) * rows], mesh)
-    params = shard_params({"w": jnp.asarray(w0)}, mesh)
+    # under tp, w (16, 4) is output-channel sharded over 'tp'
+    params = shard_params({"w": jnp.asarray(w0)}, mesh, tp=tp > 1,
+                          min_channels=4)
 
     def loss_fn(p, xb, yb):
         return jnp.mean((xb @ p["w"] - yb) ** 2)
@@ -52,6 +60,7 @@ def main():
 
     loss, new_params = step(params, x, y)
     wsum = float(jnp.sum(new_params["w"]))
+    wspec = str(new_params["w"].sharding.spec).replace(" ", "")
 
     # reduce_loss_dict over the mapped dp axis (each device contributes its
     # local shard's mean -> pmean must recover the global mean)
@@ -64,9 +73,9 @@ def main():
     collectives.synchronize()  # cross-process barrier (pmap psum)
 
     print("MULTIHOST_OK pid=%d procs=%d global=%d "
-          "loss=%.6f wsum=%.6f a=%.6f b=%.6f"
+          "loss=%.6f wsum=%.6f a=%.6f b=%.6f tp=%d wspec=%s"
           % (pid, nproc, nglobal, float(loss), wsum,
-             float(red["a"]), float(red["b"])), flush=True)
+             float(red["a"]), float(red["b"]), tp, wspec), flush=True)
 
 
 if __name__ == "__main__":

@@ -81,6 +81,10 @@ _HEAVY_TESTS = {
     # added after the re-tier: chains two raft-train CLI runs (two full
     # train-step compiles) + a validate_chairs pass — minutes, not quick.
     "test_raft_train_cli_stage_chaining",
+    # r5: compiles a 64px generator (~28 s on the 1-core host)
+    "test_channel_max_caps_table_and_params",
+    # r5: traces train_d_step 4x (~79 s)
+    "test_remat_scope_traces_all_variants",
 }
 
 

@@ -158,3 +158,30 @@ def test_generator_packed_stages_match_unpacked():
         up = np.asarray(dualstylegan_apply(dp, dcfg, [0.5 * lat], ex,
                                            packed=False, **kw))
         np.testing.assert_allclose(ap, up, atol=2e-5)
+
+
+def test_channel_max_caps_table_and_params():
+    # channel_max (the standard StyleGAN2 knob; reference hardcodes 512 —
+    # model.py:422-432) caps every table entry and every conv width, with
+    # the default leaving the reference table untouched.
+    from vtoonify_tpu.models.generator import channel_table
+
+    assert channel_table(2) == channel_table(2, channel_max=512)
+    capped = channel_table(1, channel_max=128)
+    assert max(capped.values()) == 128
+    assert capped[256] == 64  # entries under the cap are unchanged
+
+    import jax
+
+    cfg_small = GeneratorConfig(size=64, channel_multiplier=1,
+                                channel_max=128)
+    params = init_generator(jax.random.PRNGKey(0), cfg_small)
+    widths = {
+        a.shape[-1]
+        for a in jax.tree_util.tree_leaves(params)
+        if hasattr(a, "ndim") and a.ndim == 4
+    }
+    assert max(widths) <= 128
+    out = generate(params, cfg_small,
+                   [jax.random.normal(jax.random.PRNGKey(1), (1, 512))])
+    assert out.shape == (1, 64, 64, 3)

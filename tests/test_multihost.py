@@ -31,14 +31,18 @@ def _free_port() -> int:
     return port
 
 
-def _worker_env(port: int, pid: int) -> dict:
+def _worker_env(port: int, pid: int, local_devices: int = 2,
+                tp: bool = False) -> dict:
     env = dict(os.environ)
-    # 2 virtual CPU devices per process (the parent's conftest pins 8 for the
+    # N virtual CPU devices per process (the parent's conftest pins 8 for the
     # in-process suite; the workers get their own count)
     flags = [f for f in env.get("XLA_FLAGS", "").split()
              if "host_platform_device_count" not in f]
     env["XLA_FLAGS"] = " ".join(
-        flags + ["--xla_force_host_platform_device_count=2"])
+        flags +
+        [f"--xla_force_host_platform_device_count={local_devices}"])
+    if tp:
+        env["VTOONIFY_TEST_TP"] = "1"
     env["JAX_PLATFORMS"] = "cpu"
     # hermetic interpreter: the repo only. The environment's PYTHONPATH may
     # carry a sitecustomize that registers a hardware PJRT plugin at startup,
@@ -60,10 +64,10 @@ def test_initialize_rejects_ranks_without_coordinator(monkeypatch):
         multihost.initialize(num_processes=2, process_id=1)
 
 
-def test_two_process_dp_step():
-    port = _free_port()
+def _run_pod(port: int, local_devices: int = 2, tp: bool = False):
     procs = [
-        subprocess.Popen([sys.executable, WORKER], env=_worker_env(port, pid),
+        subprocess.Popen([sys.executable, WORKER],
+                         env=_worker_env(port, pid, local_devices, tp),
                          cwd=REPO, stdout=subprocess.PIPE,
                          stderr=subprocess.STDOUT, text=True)
         for pid in (0, 1)
@@ -82,16 +86,13 @@ def test_two_process_dp_step():
 
     lines = [next(ln for ln in out.splitlines() if "MULTIHOST_OK" in ln)
              for out in outs]
-    parsed = [dict(kv.split("=") for kv in ln.split()[1:]) for ln in lines]
+    return [dict(kv.split("=") for kv in ln.split()[1:]) for ln in lines]
 
-    # topology: 2 processes x 2 local devices = 4-device global mesh
-    for pid, d in enumerate(parsed):
-        assert d["pid"] == str(pid)
-        assert d["procs"] == "2" and d["global"] == "4"
 
+def _check_numerics(parsed):
     # both ranks must agree bit-for-bit on every reduced quantity
     for k in ("loss", "wsum", "a", "b"):
-        assert parsed[0][k] == parsed[1][k], (k, lines)
+        assert parsed[0][k] == parsed[1][k], (k, parsed)
 
     # and match the single-process numpy ground truth (the DP grad step's
     # all-reduce crossed the process boundary to get here)
@@ -107,3 +108,27 @@ def test_two_process_dp_step():
     assert float(parsed[0]["a"]) == pytest.approx(full_x.mean(), abs=1e-5)
     assert float(parsed[0]["b"]) == pytest.approx((full_x ** 2).mean(),
                                                   rel=1e-4)
+
+
+def test_two_process_dp_step():
+    parsed = _run_pod(_free_port())
+    # topology: 2 processes x 2 local devices = 4-device global mesh
+    for pid, d in enumerate(parsed):
+        assert d["pid"] == str(pid)
+        assert d["procs"] == "2" and d["global"] == "4"
+        assert d["tp"] == "1"
+    _check_numerics(parsed)
+
+
+def test_two_process_dp_tp_step():
+    """Pod-shaped topology (VERDICT r4 #8): 2 processes x 4 local devices,
+    dp4 x tp2 mesh spanning both — tp pairs intra-process (ICI), the dp
+    grad all-reduce across the process boundary (DCN), with w genuinely
+    output-channel-sharded over 'tp'."""
+    parsed = _run_pod(_free_port(), local_devices=4, tp=True)
+    for pid, d in enumerate(parsed):
+        assert d["pid"] == str(pid)
+        assert d["procs"] == "2" and d["global"] == "8"
+        assert d["tp"] == "2"
+        assert "'tp'" in d["wspec"], d["wspec"]  # really TP-sharded
+    _check_numerics(parsed)

@@ -473,3 +473,28 @@ def test_sp_single_frame_inference():
     assert out.shape == (1, 256, 256, 3)
     assert len(out.sharding.device_set) == 8
     np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
+@pytest.mark.e2e
+def test_dryrun_multichip_fits_driver_budget():
+    """The driver's multi-chip record is only as good as the dryrun that
+    fits its measurement window (VERDICT r4 #1: MULTICHIP_r04 was rc=124
+    after 3/5 phases). Runs the REAL __graft_entry__.dryrun_multichip(8) —
+    subprocess isolation, np-materialized zoo, channel_max=128 configs —
+    and asserts the whole thing lands well inside the budget. Measured
+    359 s clean on the 1-core CI host (2026-08-20); the bound leaves ~35%
+    headroom for host noise."""
+    import importlib.util
+    import os
+    import time
+
+    path = os.path.join(os.path.dirname(__file__), "..",
+                        "__graft_entry__.py")
+    spec = importlib.util.spec_from_file_location("graft_entry_test", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    t0 = time.time()
+    mod.dryrun_multichip(8)
+    wall = time.time() - t0
+    assert wall < 480, f"dryrun took {wall:.0f}s (budget regression)"

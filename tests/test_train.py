@@ -388,3 +388,43 @@ def test_synth_dtype_bf16_tracks_f32(tiny_bundle):
     scast, sup = _synth_cast("float32", "bfloat16")
     t = jnp.ones((2,), jnp.float32)
     assert scast(t).dtype == jnp.float32 and sup(t).dtype == jnp.float32
+
+
+def test_remat_scope_traces_all_variants(tiny_bundle):
+    """remat_scope ("all"/"g"/"lpips" under remat=True, plus remat=False)
+    only changes WHAT the step rematerializes, never its math or output
+    structure — all four variants must trace to identical output shapes
+    (the bench_train.py remat-policy sweep relies on this knob)."""
+    vt_params, parsing_params, directions, styles = tiny_bundle
+    key = jax.random.PRNGKey(63)
+    ks = jax.random.split(key, 4)
+    dcfg = CondDiscriminatorConfig(size=64, channel_multiplier=1,
+                                   use_condition=True, style_num=3)
+    d_params = init_cond_discriminator(ks[0], dcfg)
+    psp_cfg = PSPEncoderConfig(n_styles=TINY.n_latent)
+    psp_params = init_psp_encoder(ks[1], psp_cfg)
+    lpips_params = init_lpips(ks[2])
+    _, frozen = split_trainable(vt_params, pretrain=False)
+
+    shapes = []
+    for remat, scope in ((True, "all"), (True, "g"), (True, "lpips"),
+                         (False, "all")):
+        tcfg = TrainDConfig(crop_size=96, lpips_size=64, aug_max_pad=80,
+                            remat=remat, remat_scope=scope)
+        state = init_train_d_state(vt_params, d_params, batch=2, cfg=TINY,
+                                   tcfg=tcfg)
+        style_ind = jnp.array([0, 2])
+        out = jax.eval_shape(
+            lambda st, tc=tcfg: train_d_step(
+                st, frozen, parsing_params, psp_params, psp_cfg, None,
+                lpips_params, TINY, dcfg, tc, directions, styles[style_ind],
+                style_ind, jnp.asarray(0.6),
+                tuple([0.6] * 7 + [1.0] * (TINY.n_latent - 7)),
+                jnp.asarray(0.0), jnp.asarray(0.5), jnp.asarray(False),
+                ks[3],
+            ),
+            state,
+        )
+        shapes.append(jax.tree_util.tree_map(
+            lambda s: (s.shape, str(s.dtype)), out))
+    assert shapes[0] == shapes[1] == shapes[2] == shapes[3]

@@ -27,6 +27,7 @@ class DualStyleGANConfig:
     style_dim: int = 512
     n_mlp: int = 8
     channel_multiplier: int = 2
+    channel_max: int = 512
     res_index: int = 6  # floored to even by the reference (dualstylegan.py:60)
 
     @property
@@ -34,6 +35,7 @@ class DualStyleGANConfig:
         return G.GeneratorConfig(
             size=self.size, style_dim=self.style_dim, n_mlp=self.n_mlp,
             channel_multiplier=self.channel_multiplier,
+            channel_max=self.channel_max,
         )
 
     @property

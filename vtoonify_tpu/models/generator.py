@@ -20,18 +20,24 @@ import jax.numpy as jnp
 from vtoonify_tpu.nn import layers as L
 
 
-def channel_table(channel_multiplier: int = 2) -> dict:
-    """reference model.py:422-432."""
+def channel_table(channel_multiplier: int = 2,
+                  channel_max: int = 512) -> dict:
+    """reference model.py:422-432. `channel_max` caps every entry (the
+    standard StyleGAN2 channel_max knob; the reference hardcodes 512) —
+    smaller caps give cheap debug/dryrun configs with the same topology."""
     return {
-        4: 512,
-        8: 512,
-        16: 512,
-        32: 512,
-        64: 256 * channel_multiplier,
-        128: 128 * channel_multiplier,
-        256: 64 * channel_multiplier,
-        512: 32 * channel_multiplier,
-        1024: 16 * channel_multiplier,
+        res: min(c, channel_max)
+        for res, c in {
+            4: 512,
+            8: 512,
+            16: 512,
+            32: 512,
+            64: 256 * channel_multiplier,
+            128: 128 * channel_multiplier,
+            256: 64 * channel_multiplier,
+            512: 32 * channel_multiplier,
+            1024: 16 * channel_multiplier,
+        }.items()
     }
 
 
@@ -41,6 +47,7 @@ class GeneratorConfig:
     style_dim: int = 512
     n_mlp: int = 8
     channel_multiplier: int = 2
+    channel_max: int = 512
     lr_mlp: float = 0.01
 
     @property
@@ -57,7 +64,7 @@ class GeneratorConfig:
 
     @property
     def channels(self) -> dict:
-        return channel_table(self.channel_multiplier)
+        return channel_table(self.channel_multiplier, self.channel_max)
 
 
 # ---------------------------------------------------------------------------
@@ -281,6 +288,7 @@ def mean_latent(params, cfg: GeneratorConfig, key, n_latent: int):
 class DiscriminatorConfig:
     size: int = 256
     channel_multiplier: int = 2
+    channel_max: int = 512
 
     @property
     def log_size(self) -> int:
@@ -288,7 +296,7 @@ class DiscriminatorConfig:
 
     @property
     def channels(self) -> dict:
-        return channel_table(self.channel_multiplier)
+        return channel_table(self.channel_multiplier, self.channel_max)
 
 
 def init_discriminator(key, cfg: DiscriminatorConfig):

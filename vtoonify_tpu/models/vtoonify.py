@@ -35,6 +35,7 @@ class VToonifyConfig:
     style_channels: int = 512
     num_mlps: int = 8
     channel_multiplier: int = 2
+    channel_max: int = 512
     num_res_layers: int = 6
     backbone: str = "dualstylegan"  # or "toonify"
 
@@ -43,6 +44,7 @@ class VToonifyConfig:
         return G.GeneratorConfig(
             size=self.out_size, style_dim=self.style_channels,
             n_mlp=self.num_mlps, channel_multiplier=self.channel_multiplier,
+            channel_max=self.channel_max,
         )
 
     @property
@@ -50,11 +52,13 @@ class VToonifyConfig:
         return D.DualStyleGANConfig(
             size=self.out_size, style_dim=self.style_channels,
             n_mlp=self.num_mlps, channel_multiplier=self.channel_multiplier,
+            channel_max=self.channel_max,
         )
 
     @property
     def channels(self) -> dict:
-        return G.channel_table(self.channel_multiplier)
+        return G.channel_table(self.channel_multiplier,
+                               self.channel_max)
 
     @property
     def encoder_res(self) -> tuple:
@@ -389,13 +393,15 @@ def zplus2wplus(params, cfg: VToonifyConfig, zplus):
 class CondDiscriminatorConfig:
     size: int = 256
     channel_multiplier: int = 2
+    channel_max: int = 512
     use_condition: bool = False
     style_num: Optional[int] = None
 
     @property
     def base(self) -> G.DiscriminatorConfig:
         return G.DiscriminatorConfig(
-            size=self.size, channel_multiplier=self.channel_multiplier
+            size=self.size, channel_multiplier=self.channel_multiplier,
+            channel_max=self.channel_max,
         )
 
 

@@ -179,6 +179,10 @@ class TrainDConfig(NamedTuple):
     remat: bool = True          # rematerialize G forwards + LPIPS (trades
     # FLOPs for HBM — the three full-res G forwards per iteration would
     # otherwise exceed one chip's HBM at the 1024px production config)
+    remat_scope: str = "all"    # what remat=True checkpoints: "all"
+    # (G forwards + LPIPS, the memory-safe default), "g" (G forwards
+    # only), "lpips" (LPIPS only) — the bench_train.py remat-policy sweep
+    # (TRAIN_BENCH_REMAT_SCOPE); docs/PERF.md records the measurements
     compute_dtype: Optional[str] = None  # e.g. "bfloat16": run the student/D/
     # LPIPS forwards in low precision with float32 master weights, optimizer
     # state and loss arithmetic
@@ -294,9 +298,11 @@ def train_d_step(
 
     _lpips = lpips_apply
     if tcfg.remat:
-        _vt_mask = jax.checkpoint(_vt_mask)
-        _vt = jax.checkpoint(_vt)
-        _lpips = jax.checkpoint(lpips_apply)
+        if tcfg.remat_scope in ("all", "g"):
+            _vt_mask = jax.checkpoint(_vt_mask)
+            _vt = jax.checkpoint(_vt)
+        if tcfg.remat_scope in ("all", "lpips"):
+            _lpips = jax.checkpoint(lpips_apply)
 
     d_params_c = castp(d_params)
     lpips_params_c = castp(lpips_params)
@@ -504,8 +510,10 @@ def train_t_step(
 
     _lpips = lpips_apply
     if tcfg.remat:
-        _vt = jax.checkpoint(_vt)
-        _lpips = jax.checkpoint(lpips_apply)
+        if tcfg.remat_scope in ("all", "g"):
+            _vt = jax.checkpoint(_vt)
+        if tcfg.remat_scope in ("all", "lpips"):
+            _lpips = jax.checkpoint(lpips_apply)
 
     d_params_c = castp(d_params)
     lpips_params_c = castp(lpips_params)
