@@ -11,8 +11,12 @@ Layout: NHWC with C as the lane dimension (128-aligned tiles). Each grid step
 processes one (batch, row-block) stripe; the horizontal pass reads the
 vertical pass's result directly from VMEM scratch.
 
-Enable via `VTOONIFY_PALLAS=1` (dispatch in ops/upfirdn2d.py / fused_act.py)
-or call directly. Falls back to the XLA path for shapes that don't tile.
+Production status (docs/PERF.md "Pallas kernel scorecard"): the affine-warp
+kernel is the production augment path on TPU (6.4-30x over XLA's gather
+form); the blur-chain / fused-act / modconv / depth-to-space kernels LOST
+their on-hardware A/Bs to XLA's fusions (r2-r4 measurements in PERF.md) and
+are kept as verified reference/insurance code — exercised by
+tests/test_pallas.py, callable directly, but not dispatched by the ops.
 """
 
 from __future__ import annotations
