@@ -40,7 +40,7 @@ V5E_PEAK_BF16_TFLOPS = 197.0
 
 
 def _time_steps(run_one, n_iters):
-    state = run_one(None)            # compile + first step
+    state = run_one(None)            # first step (the AOT compile already ran)
     jax.block_until_ready(state)
     np.asarray(jax.tree_util.tree_leaves(state)[0])  # relay-safe fence
     t0 = time.perf_counter()
@@ -50,9 +50,12 @@ def _time_steps(run_one, n_iters):
     return (time.perf_counter() - t0) / n_iters
 
 
-def _step_flops(jitted, *args, **kwargs):
-    """XLA cost analysis of a compiled training step: total FLOPs/iter."""
-    cost = jitted.lower(*args, **kwargs).compile().cost_analysis()
+def _compiled_flops(compiled):
+    """XLA cost analysis of an already-compiled step: total FLOPs/iter.
+    (The step is AOT-compiled ONCE and reused for both the timing loop and
+    this analysis — a second lower+compile through the remote-compile relay
+    costs minutes and blew the bench's wall budget.)"""
+    cost = compiled.cost_analysis()
     if isinstance(cost, (list, tuple)):
         cost = cost[0]
     return float(cost.get("flops", 0.0))
@@ -82,21 +85,21 @@ def bench_pretrain(batch, n_iters, compute_dtype):
     synth_dtype = ("float32"
                    if os.environ.get("TRAIN_BENCH_SYNTH_FP32", "0") == "1"
                    else None)
+    d_s = jnp.asarray(0.5)
+    compiled = step_fn.lower(init_state, frozen, parsing_params, cfg,
+                             directions, style, d_s, ks[4],
+                             compute_dtype=compute_dtype,
+                             synth_dtype=synth_dtype).compile()
 
     def run_one(state):
         state = init_state if state is None else state
-        new_state, _ = step_fn(state, frozen, parsing_params, cfg, directions,
-                               style, jnp.asarray(0.5), ks[4],
-                               compute_dtype=compute_dtype,
-                               synth_dtype=synth_dtype)
+        new_state, _ = compiled(state, frozen, parsing_params, directions,
+                                style, d_s, ks[4])
         return new_state
 
     flops = None
     if os.environ.get("TRAIN_BENCH_MFU", "0") == "1":
-        flops = _step_flops(step_fn, init_state, frozen, parsing_params, cfg,
-                            directions, style, jnp.asarray(0.5), ks[4],
-                            compute_dtype=compute_dtype,
-                            synth_dtype=synth_dtype)
+        flops = _compiled_flops(compiled)
     return _time_steps(run_one, n_iters), flops
 
 
@@ -148,25 +151,27 @@ def bench_full(batch, n_iters, compute_dtype):
 
     step_fn = jax.jit(train_d_step, donate_argnums=(0,),
                       static_argnames=("cfg", "dcfg", "tcfg", "psp_cfg"))
+    d_s = jnp.asarray(0.5)
+    ramp0, fuse_t = jnp.asarray(0.0), jnp.asarray(0.5)
+    jitter = jnp.asarray(False)
+    compiled = step_fn.lower(
+        init_state, frozen, parsing_params, psp_params, psp_cfg, None,
+        lpips_params, cfg, dcfg, tcfg, directions, style, style_ind,
+        d_s, weights, ramp0, fuse_t, jitter, ks[7],
+    ).compile()
 
     def run_one(state):
         state = init_state if state is None else state
-        new_state, _ = step_fn(
-            state, frozen, parsing_params, psp_params, psp_cfg, None,
-            lpips_params, cfg, dcfg, tcfg, directions, style, style_ind,
-            jnp.asarray(0.5), weights, jnp.asarray(0.0), jnp.asarray(0.5),
-            jnp.asarray(False), ks[7],
+        new_state, _ = compiled(
+            state, frozen, parsing_params, psp_params, None,
+            lpips_params, directions, style, style_ind,
+            d_s, weights, ramp0, fuse_t, jitter, ks[7],
         )
         return new_state
 
     flops = None
     if os.environ.get("TRAIN_BENCH_MFU", "0") == "1":
-        flops = _step_flops(
-            step_fn, init_state, frozen, parsing_params, psp_params, psp_cfg,
-            None, lpips_params, cfg, dcfg, tcfg, directions, style, style_ind,
-            jnp.asarray(0.5), weights, jnp.asarray(0.0), jnp.asarray(0.5),
-            jnp.asarray(False), ks[7],
-        )
+        flops = _compiled_flops(compiled)
     return _time_steps(run_one, n_iters), flops
 
 
