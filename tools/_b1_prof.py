@@ -10,7 +10,7 @@ Splits the 23.4 ms p50 into its real constituents on hardware:
                 INSIDE one program (scheduling bubbles between kernels)
                 are separated from host-side dispatch overhead.
 
-Run on the real chip: `PYTHONPATH=. python tools/_b1_prof.py [batch]`.
+Run on the real chip: `PYTHONPATH="$PWD:$PYTHONPATH" python tools/_b1_prof.py [batch]`.
 """
 import sys
 import time

@@ -2,7 +2,7 @@
 and report the collective inventory of each compiled module (no execution —
 safe on hosts with fewer cores than rendezvous participants).
 
-Usage: PYTHONPATH=. python tools/_hlo_audit.py [phase ...]   phases: d, t
+Usage: PYTHONPATH="$PWD:$PYTHONPATH" python tools/_hlo_audit.py [phase ...]   phases: d, t
 (the same inventory is guarded in-suite by tests/test_sharding.py::
 test_hlo_collectives_{train_d,train_t,inference} — the inference audit covers
 the dp×tp and sp frame graphs there)
