@@ -85,6 +85,8 @@ _HEAVY_TESTS = {
     "test_channel_max_caps_table_and_params",
     # r5: traces train_d_step 4x (~79 s)
     "test_remat_scope_traces_all_variants",
+    # r5: T-trainer CLI e2e (two full compiles, ~20 min)
+    "test_train_t_cli_both_stages",
 }
 
 

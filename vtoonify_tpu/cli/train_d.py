@@ -80,6 +80,9 @@ def build_parser():
                    help="accepted for reference launch-script compatibility "
                         "(train_vtoonify_d.py:38); ignored — all local chips "
                         "are used automatically, pods use --multihost")
+    p.add_argument("--debug_nans", action="store_true",
+                   help="fail at the first NaN-producing primitive "
+                        "(jax_debug_nans; slow, debug only)")
     p.add_argument("--profile", type=int, default=0, metavar="N",
                    help="capture an XLA device trace of N steps (written to "
                         "log/NAME/trace, viewable in TensorBoard/Perfetto)")
@@ -172,8 +175,18 @@ def main(argv=None):
         split_trainable,
         train_d_step,
     )
+    from vtoonify_tpu.train.guards import (
+        PreemptionGuard,
+        check_finite_metrics,
+        enable_nan_debugging,
+        handle_preemption,
+    )
     from vtoonify_tpu.utils import checkpoint as ckpt_util
     from vtoonify_tpu.utils.profiling import StepTrace
+
+    if args.debug_nans:
+        enable_nan_debugging()
+    guard = PreemptionGuard()
 
     if args.tiny:
         cfg = VToonifyConfig(in_size=32, out_size=128, channel_multiplier=1,
@@ -218,6 +231,11 @@ def main(argv=None):
 
     if args.pretrain:
         state = init_pretrain_state(vt_params, args.lr)
+        pre_state_path = f"checkpoint/{args.name}/pretrain_state.ckpt"
+        if args.resume and os.path.exists(pre_state_path):
+            state = ckpt_util.load_train_state(pre_state_path, state)
+            args.start_iter = int(state.step)
+            print(f"resumed pretrain state at step {args.start_iter}")
         _, frozen = split_trainable(vt_params, pretrain=True)
         frozen = shard_params(frozen, mesh, tp=args.tp > 1)
         parsing_sh = shard_params(parsing_params, mesh)
@@ -247,6 +265,7 @@ def main(argv=None):
             if args.profile:
                 tracer.after(idx, metrics)
             if (idx + 1) % max(args.log_every // 10, 1) == 0:
+                check_finite_metrics(metrics, idx)
                 mlog.log(idx, metrics, d_s=float(d_s))
                 print(
                     f"iter {idx}: emse {float(metrics['emse']):.4f} "
@@ -254,6 +273,13 @@ def main(argv=None):
                     " s/it)",
                     flush=True,
                 )
+            if handle_preemption(
+                    guard,
+                    lambda: ckpt_util.save_train_state(pre_state_path,
+                                                       state),
+                    idx + 1):
+                tracer.close()
+                return
             if ((idx + 1) >= args.save_begin
                     and (idx + 1) % args.save_every == 0) or (
                     idx + 1) == args.iter:
@@ -263,6 +289,7 @@ def main(argv=None):
                     f"checkpoint/{args.name}/{name}",
                     {"g_ema": {"encoder": state.ema_encoder}},
                 )
+                ckpt_util.save_train_state(pre_state_path, state)
                 if args.export_pt:
                     from vtoonify_tpu.convert.torch_export import (
                         save_reference_checkpoint,
@@ -404,6 +431,7 @@ def main(argv=None):
         if args.profile:
             tracer.after(idx, metrics)
         if (idx + 1) % max(args.log_every // 10, 1) == 0:
+            check_finite_metrics(metrics, idx)
             mlog.log(idx, metrics, d_s=float(d_s))
             m = {k: f"{float(v):.4f}" for k, v in metrics.items()}
             print(f"iter {idx}: {m} "
@@ -412,6 +440,12 @@ def main(argv=None):
         if (idx == args.start_iter or (idx + 1) % args.log_every == 0
                 or (idx + 1) == args.iter):
             glog.log(idx + 1, {**frozen, **state.ema}, d_s)
+        if handle_preemption(
+                guard,
+                lambda: ckpt_util.save_train_state(state_path, state),
+                idx + 1):
+            tracer.close()
+            return
         if ((idx + 1) >= args.save_begin
                 and (idx + 1) % args.save_every == 0) or (idx + 1) == args.iter:
             name = (f"vtoonify{suffix}.ckpt" if (idx + 1) == args.iter

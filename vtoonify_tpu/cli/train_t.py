@@ -48,9 +48,11 @@ def build_parser():
     p.add_argument("--finetunegan_path", type=str,
                    default="./checkpoint/cartoon/finetune-000600.pt",
                    help="style-finetuned StyleGAN")
-    p.add_argument("--weight", type=float, nargs=18,
+    p.add_argument("--weight", type=float, nargs="+",
                    default=[1] * 7 + [0] * 11,
-                   help="18 layer-wise blending weights")
+                   help="layer-wise blending weights (18 at the production "
+                        "1024px config — reference train_vtoonify_t.py:59; "
+                        "n_latent entries generally, truncated if longer)")
     p.add_argument("--faceparsing_path", type=str,
                    default="./checkpoint/faceparsing.pth")
     p.add_argument("--style_encoder_path", type=str,
@@ -63,6 +65,8 @@ def build_parser():
 
     p.add_argument("--name", type=str, default="vtoonify_t_cartoon")
     p.add_argument("--pretrain", action="store_true")
+    p.add_argument("--tiny", action="store_true",
+                   help="32->128 debug config (tests/smoke)")
     p.add_argument("--tp", type=int, default=1)
     p.add_argument("--multihost", action="store_true")
     p.add_argument("--coordinator", type=str, default=None,
@@ -75,6 +79,13 @@ def build_parser():
                    help="accepted for reference launch-script compatibility "
                         "(train_vtoonify_t.py:44); ignored — all local chips "
                         "are used automatically, pods use --multihost")
+    p.add_argument("--resume", action="store_true",
+                   help="exact resume from the last full train state "
+                        "(params+EMA+optimizers+step; reference resume is "
+                        "approximate --start_iter only)")
+    p.add_argument("--debug_nans", action="store_true",
+                   help="fail at the first NaN-producing primitive "
+                        "(jax_debug_nans; slow, debug only)")
     p.add_argument("--profile", type=int, default=0, metavar="N",
                    help="capture an XLA device trace of N steps (written to "
                         "log/NAME/trace)")
@@ -146,10 +157,31 @@ def main(argv=None):
         split_trainable,
         train_t_step,
     )
+    from vtoonify_tpu.train.guards import (
+        PreemptionGuard,
+        check_finite_metrics,
+        enable_nan_debugging,
+        handle_preemption,
+    )
     from vtoonify_tpu.utils import checkpoint as ckpt_util
     from vtoonify_tpu.utils.blend import blend_generators
 
-    cfg = VToonifyConfig(backbone="toonify")
+    if args.debug_nans:
+        enable_nan_debugging()
+    guard = PreemptionGuard()
+
+    if args.tiny:
+        cfg = VToonifyConfig(in_size=32, out_size=128, channel_multiplier=1,
+                             num_res_layers=2, backbone="toonify")
+    else:
+        cfg = VToonifyConfig(backbone="toonify")
+    # blend recipes are written for 18 latents; at smaller configs use the
+    # first 7 (structure) + tail (color) entries that exist
+    if len(args.weight) > cfg.n_latent:
+        args.weight = args.weight[:cfg.n_latent]
+    assert len(args.weight) == cfg.n_latent, (
+        f"--weight needs {cfg.n_latent} entries for out_size "
+        f"{cfg.out_size}, got {len(args.weight)}")
     key = jax.random.PRNGKey(args.seed)
     kinit, key = jax.random.split(key)
 
@@ -174,6 +206,11 @@ def main(argv=None):
 
     if args.pretrain:
         state = init_pretrain_state(vt_params, args.lr)
+        pre_state_path = f"checkpoint/{args.name}/pretrain_state.ckpt"
+        if args.resume and os.path.exists(pre_state_path):
+            state = ckpt_util.load_train_state(pre_state_path, state)
+            args.start_iter = int(state.step)
+            print(f"resumed pretrain state at step {args.start_iter}")
         _, frozen = split_trainable(vt_params, pretrain=True)
         frozen = shard_params(frozen, mesh, tp=args.tp > 1)
         base_sh = shard_params(base_params, mesh, tp=args.tp > 1)
@@ -195,9 +232,17 @@ def main(argv=None):
             if args.profile:
                 tracer.after(idx, metrics)
             if (idx + 1) % max(args.log_every // 10, 1) == 0:
+                check_finite_metrics(metrics, idx)
                 mlog.log(idx, metrics)
                 print(f"iter {idx}: emse {float(metrics['emse']):.4f}",
                       flush=True)
+            if handle_preemption(
+                    guard,
+                    lambda: ckpt_util.save_train_state(pre_state_path,
+                                                       state),
+                    idx + 1):
+                tracer.close()
+                return
             if ((idx + 1) >= args.save_begin
                     and (idx + 1) % args.save_every == 0) or (
                     idx + 1) == args.iter:
@@ -207,6 +252,7 @@ def main(argv=None):
                     f"checkpoint/{args.name}/{name}",
                     {"g_ema": {"encoder": state.ema_encoder}},
                 )
+                ckpt_util.save_train_state(pre_state_path, state)
                 if args.export_pt:
                     from vtoonify_tpu.convert.torch_export import (
                         save_reference_checkpoint,
@@ -246,17 +292,28 @@ def main(argv=None):
     )
     print(f"LPIPS weights: {lpips_desc}")
 
-    dcfg = CondDiscriminatorConfig(size=256, use_condition=False)
+    dcfg = CondDiscriminatorConfig(
+        size=64 if args.tiny else 256,
+        channel_multiplier=1 if args.tiny else 2,
+        use_condition=False,
+    )
     key, kd = jax.random.split(key)
     d_params = init_cond_discriminator(kd, dcfg)
     tcfg = TrainDConfig(adv_loss=args.adv_loss, grec_loss=args.grec_loss,
                         perc_loss=args.perc_loss, tmp_loss=args.tmp_loss,
                         lr=args.lr,
                         compute_dtype="bfloat16" if args.bf16 else None,
-                        synth_dtype="float32" if args.synth_fp32 else None)
+                        synth_dtype="float32" if args.synth_fp32 else None,
+                        **({"crop_size": 96, "lpips_size": 64,
+                            "aug_max_pad": 40} if args.tiny else {}))
 
     _, frozen = split_trainable(vt_params, pretrain=False)
     state = init_train_t_state(vt_params, d_params, tcfg)
+    state_path = f"checkpoint/{args.name}/train_state.ckpt"
+    if args.resume and os.path.exists(state_path):
+        state = ckpt_util.load_train_state(state_path, state)
+        args.start_iter = int(state.step)
+        print(f"resumed full train state at step {args.start_iter}")
     state = state._replace(
         trainable=shard_params(state.trainable, mesh, tp=args.tp > 1),
         d_params=shard_params(state.d_params, mesh, tp=args.tp > 1),
@@ -301,17 +358,25 @@ def main(argv=None):
         if args.profile:
             tracer.after(idx, metrics)
         if (idx + 1) % max(args.log_every // 10, 1) == 0:
+            check_finite_metrics(metrics, idx)
             mlog.log(idx, metrics)
             m = {k: f"{float(v):.4f}" for k, v in metrics.items()}
             print(f"iter {idx}: {m}", flush=True)
         if (idx % args.log_every == 0 or (idx + 1) == args.iter):
             glog.log(idx, {**frozen, **state.ema}, 0.0)
+        if handle_preemption(
+                guard,
+                lambda: ckpt_util.save_train_state(state_path, state),
+                idx + 1):
+            tracer.close()
+            return
         if ((idx + 1) >= args.save_begin
                 and (idx + 1) % args.save_every == 0) or (idx + 1) == args.iter:
             name = ("vtoonify.ckpt" if (idx + 1) == args.iter
                     else f"vtoonify_{idx + 1:05d}.ckpt")
             ckpt_util.save_pytree(f"checkpoint/{args.name}/{name}",
                                   {"g_ema": state.ema})
+            ckpt_util.save_train_state(state_path, state)
             if args.export_pt:
                 from vtoonify_tpu.convert.torch_export import (
                     save_reference_checkpoint,
