@@ -87,6 +87,8 @@ _HEAVY_TESTS = {
     "test_remat_scope_traces_all_variants",
     # r5: T-trainer CLI e2e (two full compiles, ~20 min)
     "test_train_t_cli_both_stages",
+    # r5: full-size flagship init + eval_shape trace (~56 s)
+    "test_entry_traces_at_flagship_config",
 }
 
 
