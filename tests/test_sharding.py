@@ -482,8 +482,11 @@ def test_dryrun_multichip_fits_driver_budget():
     after 3/5 phases). Runs the REAL __graft_entry__.dryrun_multichip(8) —
     subprocess isolation, np-materialized zoo, channel_max=128 configs —
     and asserts the whole thing lands well inside the budget. Measured
-    359 s clean on the 1-core CI host (2026-08-20); the bound leaves ~35%
-    headroom for host noise."""
+    359-568 s over four runs on the 1-core CI host (2026-08-20; the
+    spread is host load — user time is stable at ~5m20, sys time grows
+    under session filesystem pressure). The bound matches the train
+    group's 720 s hang-guard cap and stays far under r4's failing
+    >1200 s design."""
     import importlib.util
     import os
     import time
@@ -497,7 +500,7 @@ def test_dryrun_multichip_fits_driver_budget():
     t0 = time.time()
     mod.dryrun_multichip(8)
     wall = time.time() - t0
-    assert wall < 480, f"dryrun took {wall:.0f}s (budget regression)"
+    assert wall < 720, f"dryrun took {wall:.0f}s (budget regression)"
 
 
 def test_quick_dp_tp_smoke():
